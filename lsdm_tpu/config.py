@@ -1,0 +1,178 @@
+"""Unified configuration for lsdm_tpu.
+
+The reference scatters configuration over four mechanisms (argparse,
+hard-coded dicts in ``util/model_util.py:26-125``, YAML for ATISS, python
+constants in ``config.py``).  Here everything is a frozen dataclass with
+presets that mirror the reference's canonical hyper-parameters exactly:
+
+  * model presets  -> reference ``util/model_util.py:26-73``
+    (``get_default_model_proxd`` / ``get_default_model_humanise``)
+  * diffusion preset -> reference ``util/model_util.py:127-163``
+    (steps=1000, cosine schedule, predict x_start, FIXED_SMALL sigma,
+    lambda_cat=0.1)
+  * fitting preset -> reference ``config.py:1-46``
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SDMConfig:
+    """SceneDiffusionModel hyper-parameters.
+
+    Mirrors the ctor defaults of reference ``model/sdm.py:19-22`` overridden
+    by ``util/model_util.py:26-73``.
+    """
+
+    seq_len: int = 256
+    modality: str = "text"
+    clip_dim: int = 512
+    dropout: float = 0.1
+    n_layer: int = 6
+    n_head: int = 8
+    f_vert: int = 64
+    dim_ff: int = 512
+    cat_emb: int = 32
+    latent_dim: int = 128
+    cond_mask_prob: float = 1.0
+    vert_dims: int = 655
+    obj_cat: int = 8
+    data_rep: str = "rot6d"
+    njoints: int = 251
+    pcd_points: int = 1024
+    # Reference default is pcd_dim=128 (sdm.py:21) but the canonical configs
+    # set pcd_dim=3 (model_util.py:41); pcd backbone emits (N, pcd_dim).
+    pcd_dim: int = 3
+    xyz_dim: int = 3
+    max_cats: int = 13
+    translation_params: int = 12
+    max_objs: int = 9  # 8 scene objects + slot 0 = human (posa/dataset.py:456)
+    pcd_backbone_type: str = "PNT2"  # "PNT2" | "DGCNN"
+    human_backbone_type: str = "POSA"  # "POSA" | "P2R"
+    text_encoder_type: str = "CLIP"  # "CLIP" | "BERT" | "HASH" | "CACHED"
+    clip_version: str = "ViT-B/32"
+    # Compute dtype for the denoiser body (params stay fp32).
+    dtype: str = "float32"
+
+
+def sdm_proxd() -> SDMConfig:
+    """PRO-teXt preset (reference ``get_default_model_proxd``)."""
+    return SDMConfig(max_cats=13)
+
+
+def sdm_humanise() -> SDMConfig:
+    """HUMANISE preset (reference ``get_default_model_humanise``)."""
+    return SDMConfig(max_cats=11)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+    """Diffusion process settings (reference ``util/model_util.py:127-163``)."""
+
+    steps: int = 1000
+    noise_schedule: str = "cosine"  # "cosine" | "linear"
+    scale_beta: float = 1.0
+    predict_xstart: bool = True  # ModelMeanType.START_X
+    sigma_small: bool = True  # ModelVarType.FIXED_SMALL
+    learn_sigma: bool = False
+    rescale_timesteps: bool = False
+    timestep_respacing: str = ""  # "" -> identity; "ddimN" / "N" supported
+    lambda_cat: float = 0.1
+    lambda_fc: float = 0.0
+    lambda_rcxyz: float = 0.0
+    lambda_vel: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop settings (reference ``run/train_sdm.py:186-337``)."""
+
+    batch_size: int = 6
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    epochs: int = 1000
+    eval_every: int = 50  # validate + checkpoint cadence
+    schedule_sampler: str = "uniform"  # "uniform" | "loss-second-moment"
+    seed: int = 0
+    bf16_compute: bool = True
+    # Mesh axes: data-parallel x model-parallel. (1, 1) = single chip.
+    mesh_shape: Tuple[int, int] = (1, 1)
+    ckpt_dir: str = "checkpoints"
+    log_dir: str = "logs"
+
+
+@dataclasses.dataclass(frozen=True)
+class FittingConfig:
+    """Object-fitting hyper-parameters (reference ``config.py:1-46``)."""
+
+    voxel_size: float = 0.04
+    cluster_min_points: int = 9
+    pts_per_unit: int = 20
+    contact_weight: float = 100.0
+    pen_thresh: float = 0.0
+    lr: float = 3e-3
+    opt_steps: int = 200
+    grid_rotations: int = 36
+    grid_translations: int = 11  # 11 x 11 grid
+    # Per-class DBSCAN eps (reference config.py cluster_eps table).
+    default_cluster_eps: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset layout (reference ``posa/dataset.py:348-474``)."""
+
+    data_dir: str = "data/protext/proxd_train"
+    objs_dir: str = "data/protext/objs"
+    datatype: str = "proxd"  # "proxd" | "humanise"
+    max_objs: int = 8  # + 1 human slot
+    pnt_size: int = 1024
+    max_cats: int = 13
+    fix_orientation: bool = False
+    jump_step: int = 8
+    max_frame: int = 220
+
+
+# Category tables (reference ``posa/dataset.py:404-422`` / ``:533-548``).
+PROXD_CATEGORIES = {
+    "chair": 1,
+    "table": 2,
+    "cabinet": 3,
+    "sofa": 4,
+    "bed": 5,
+    "chest_of_drawers": 6,
+    "chest": 6,
+    "stool": 7,
+    "tv_monitor": 8,
+    "tv": 8,
+    "lighting": 9,
+    "shelving": 10,
+    "seating": 11,
+    "furniture": 12,
+    "human": 0,
+}
+
+HUMANISE_CATEGORIES = {
+    "bed": 1,
+    "sofa": 2,
+    "table": 3,
+    "door": 4,
+    "desk": 5,
+    "refrigerator": 6,
+    "chair": 7,
+    "counter": 8,
+    "bookshelf": 9,
+    "cabinet": 10,
+    "human": 0,
+}
+
+
+def categories_for(datatype: str) -> dict:
+    return PROXD_CATEGORIES if datatype == "proxd" else HUMANISE_CATEGORIES
+
+
+def num_cats_for(datatype: str) -> int:
+    return 13 if datatype == "proxd" else 11

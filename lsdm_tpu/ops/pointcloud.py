@@ -1,0 +1,183 @@
+"""Core point-cloud ops, XLA-first.
+
+TPU-native equivalents of the reference's PointNet++ utilities
+(``model/pcd_backbone/pointnet2_utils.py``) and the pytorch3d chamfer loss
+(``diffusion/gaussian_diffusion.py:17,1334``).
+
+Design notes:
+  * Clouds are tiny (<=1024 points), so the O(N^2) pairwise-distance matmul
+    is one MXU-friendly ``dot_general`` — no KNN trees, no CUDA kernels.
+  * FPS is inherently sequential; the reference runs a 1024-iteration Python
+    loop on GPU (``pointnet2_utils.py:74-80``).  Here it is a ``lax.scan``
+    of masked argmax updates, compiled once and fused by XLA.
+  * Ball query replicates the reference's quirk of picking the *lowest-index*
+    points inside the radius (it sorts indices, not distances —
+    ``pointnet2_utils.py:97-103``), since trained weights depend on it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jax.Array, dst: jax.Array) -> jax.Array:
+    """Pairwise squared euclidean distance (B, N, M).
+
+    Same expansion as reference ``pointnet2_utils.py:19-38``:
+    ``|x|^2 + |y|^2 - 2 x.y`` — one batched matmul on the MXU.
+    """
+    # HIGHEST precision: the |x|^2+|y|^2-2xy expansion cancels catastrophically
+    # under the default bf16 matmul passes (diag error ~1e-4); full-f32
+    # passes keep it ~1e-8, and these matmuls are tiny (<=1024^2).
+    d = -2.0 * jnp.einsum(
+        "bnc,bmc->bnm",
+        src,
+        dst,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = d + jnp.sum(src.astype(jnp.float32) ** 2, -1)[:, :, None]
+    d = d + jnp.sum(dst.astype(jnp.float32) ** 2, -1)[:, None, :]
+    return d
+
+
+def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Batched gather (reference ``pointnet2_utils.py:41-57``).
+
+    points: (B, N, C); idx: (B, ...) int -> (B, ..., C).
+    """
+    return jnp.take_along_axis(
+        points.reshape(points.shape[0], 1, points.shape[1], points.shape[2]),
+        idx.reshape(idx.shape[0], 1, -1, 1),
+        axis=2,
+    ).reshape(*idx.shape, points.shape[-1])
+
+
+def chamfer_distance(
+    x: jax.Array,
+    y: jax.Array,
+    x_mask: Optional[jax.Array] = None,
+    y_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Bidirectional chamfer with pytorch3d reductions.
+
+    Matches ``pytorch3d.loss.chamfer_distance`` defaults (point_reduction
+    "mean", batch_reduction "mean", both directions summed), which is the
+    reference's training loss (``gaussian_diffusion.py:1334``) and eval
+    metric (``run/test_sdm.py:186``).
+
+    x: (B, N, 3), y: (B, M, 3).  Optional masks select valid points.
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    d = square_distance(x, y)  # (B, N, M)
+    if y_mask is not None:
+        d = jnp.where(y_mask[:, None, :] > 0, d, jnp.inf)
+    if x_mask is not None:
+        d_t = jnp.where(x_mask[:, :, None] > 0, d, jnp.inf)
+    else:
+        d_t = d
+    min_xy = jnp.min(d, axis=2)  # (B, N) nearest y for each x
+    min_yx = jnp.min(d_t, axis=1)  # (B, M) nearest x for each y
+    if x_mask is not None:
+        cham_x = jnp.sum(min_xy * x_mask, axis=1) / jnp.maximum(
+            jnp.sum(x_mask, axis=1), 1
+        )
+    else:
+        cham_x = jnp.mean(min_xy, axis=1)
+    if y_mask is not None:
+        cham_y = jnp.sum(min_yx * y_mask, axis=1) / jnp.maximum(
+            jnp.sum(y_mask, axis=1), 1
+        )
+    else:
+        cham_y = jnp.mean(min_yx, axis=1)
+    return jnp.mean(cham_x + cham_y)
+
+
+def farthest_point_sample(
+    xyz: jax.Array, npoint: int, key: Optional[jax.Array] = None
+) -> jax.Array:
+    """Farthest-point sampling indices (B, npoint).
+
+    Reference algorithm (``pointnet2_utils.py:60-81``) as a ``lax.scan``:
+    start from a random point (or 0 when ``key is None`` for determinism),
+    iteratively pick the point farthest from the selected set.
+    """
+    B, N, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+    if key is None:
+        farthest0 = jnp.zeros((B,), jnp.int32)
+    else:
+        farthest0 = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+
+    def body(carry, _):
+        distance, farthest = carry
+        centroid = jnp.take_along_axis(xyz, farthest[:, None, None], axis=1)  # (B,1,3)
+        dist = jnp.sum((xyz - centroid) ** 2, -1)  # (B, N)
+        distance = jnp.minimum(distance, dist)
+        nxt = jnp.argmax(distance, axis=-1).astype(jnp.int32)
+        return (distance, nxt), farthest
+
+    init = (jnp.full((B, N), 1e10, jnp.float32), farthest0)
+    _, idx = jax.lax.scan(body, init, None, length=npoint)
+    return jnp.transpose(idx)  # (B, npoint)
+
+
+def query_ball_point(
+    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array
+) -> jax.Array:
+    """Fixed-size ball query (B, S, nsample) of point indices.
+
+    Replicates reference semantics exactly (``pointnet2_utils.py:84-104``):
+    indices *sorted by index* (not by distance) within the radius; slots
+    beyond the in-radius count repeat the first in-radius index.
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    sqrdists = square_distance(new_xyz, xyz)  # (B, S, N)
+    arange = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (B, S, N), 2), (B, S, N)
+    )
+    cand = jnp.where(sqrdists > radius**2, N, arange)
+    # top_k of negated values = nsample smallest; ties keep lowest index
+    # order because iota values are unique.
+    neg_topk, _ = jax.lax.top_k(-cand, nsample)
+    group_idx = -neg_topk  # ascending among the chosen, like torch .sort()
+    group_idx = jnp.sort(group_idx, axis=-1)
+    group_first = group_idx[:, :, :1]
+    group_idx = jnp.where(group_idx == N, group_first, group_idx)
+    # Degenerate case (no point in radius): reference leaves N (an OOB index
+    # that torch gathers garbage for); we clamp to 0 for safety.
+    return jnp.clip(group_idx, 0, N - 1)
+
+
+def knn(x: jax.Array, k: int) -> jax.Array:
+    """k-nearest-neighbour indices (B, N, k) by negative squared distance
+    (reference ``model/pcd_backbone/dgcnn.py:21-27``)."""
+    d = square_distance(x, x)
+    _, idx = jax.lax.top_k(-d, k)
+    return idx
+
+
+def three_nn_interpolate(
+    xyz1: jax.Array, xyz2: jax.Array, points2: jax.Array, eps: float = 1e-8
+) -> jax.Array:
+    """Inverse-distance-weighted 3-NN feature interpolation.
+
+    Reference ``PointNetFeaturePropagation.forward``
+    (``pointnet2_utils.py:290-300``): features ``points2`` living on ``xyz2``
+    are interpolated onto ``xyz1`` using the 3 nearest neighbours.
+
+    xyz1: (B, N, 3); xyz2: (B, S, 3); points2: (B, S, C) -> (B, N, C).
+    """
+    d = square_distance(xyz1, xyz2)  # (B, N, S)
+    neg_top, idx = jax.lax.top_k(-d, 3)  # (B, N, 3)
+    dists = -neg_top
+    dist_recip = 1.0 / (dists + eps)
+    norm = jnp.sum(dist_recip, axis=2, keepdims=True)
+    weight = dist_recip / norm
+    gathered = index_points(points2, idx)  # (B, N, 3, C)
+    return jnp.sum(gathered * weight[..., None], axis=2)

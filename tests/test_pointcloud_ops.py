@@ -1,0 +1,181 @@
+"""Parity tests for point-cloud ops vs brute-force numpy (and torch-semantics
+emulations of the reference's pointnet2_utils)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsdm_tpu.ops import (
+    square_distance,
+    index_points,
+    chamfer_distance,
+    farthest_point_sample,
+    query_ball_point,
+    knn,
+    three_nn_interpolate,
+)
+from lsdm_tpu.ops.metrics import emd, emd_sinkhorn, fscore, topk_accuracy
+
+
+def brute_sqdist(a, b):
+    return ((a[:, :, None, :] - b[:, None, :, :]) ** 2).sum(-1)
+
+
+def test_square_distance(rng):
+    a = rng.randn(2, 7, 3).astype(np.float32)
+    b = rng.randn(2, 11, 3).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(square_distance(jnp.asarray(a), jnp.asarray(b))),
+        brute_sqdist(a, b),
+        atol=1e-4,
+    )
+
+
+def test_index_points(rng):
+    pts = rng.randn(3, 10, 4).astype(np.float32)
+    idx = rng.randint(0, 10, size=(3, 5))
+    out = np.asarray(index_points(jnp.asarray(pts), jnp.asarray(idx)))
+    for b in range(3):
+        np.testing.assert_array_equal(out[b], pts[b][idx[b]])
+    # 3D index (grouping) case
+    idx2 = rng.randint(0, 10, size=(3, 5, 6))
+    out2 = np.asarray(index_points(jnp.asarray(pts), jnp.asarray(idx2)))
+    for b in range(3):
+        np.testing.assert_array_equal(out2[b], pts[b][idx2[b]])
+
+
+def test_chamfer_zero_for_identical(rng):
+    x = rng.randn(2, 64, 3).astype(np.float32)
+    assert float(chamfer_distance(jnp.asarray(x), jnp.asarray(x))) < 1e-6
+
+
+def test_chamfer_matches_bruteforce(rng):
+    x = rng.randn(2, 32, 3).astype(np.float32)
+    y = rng.randn(2, 48, 3).astype(np.float32)
+    d = brute_sqdist(x, y)
+    expected = (d.min(2).mean(1) + d.min(1).mean(1)).mean()
+    np.testing.assert_allclose(
+        float(chamfer_distance(jnp.asarray(x), jnp.asarray(y))), expected, rtol=1e-4
+    )
+
+
+def test_chamfer_permutation_invariant(rng):
+    x = rng.randn(1, 32, 3).astype(np.float32)
+    perm = rng.permutation(32)
+    c1 = float(chamfer_distance(jnp.asarray(x), jnp.asarray(x[:, perm])))
+    assert c1 < 1e-6
+
+
+def test_fps_properties(rng):
+    x = rng.randn(2, 64, 3).astype(np.float32)
+    idx = np.asarray(farthest_point_sample(jnp.asarray(x), 16))
+    assert idx.shape == (2, 16)
+    for b in range(2):
+        assert len(set(idx[b].tolist())) == 16  # all distinct
+    # greedy farthest property for the second pick (first is index 0):
+    d0 = ((x[0] - x[0][0]) ** 2).sum(-1)
+    assert idx[0][1] == d0.argmax()
+
+
+def test_fps_matches_reference_algorithm(rng):
+    """Emulate the torch loop (pointnet2_utils.py:60-81) in numpy."""
+    x = rng.randn(1, 40, 3).astype(np.float32)
+    N, npoint = 40, 10
+    distance = np.full(N, 1e10)
+    farthest = 0
+    expect = []
+    for _ in range(npoint):
+        expect.append(farthest)
+        dist = ((x[0] - x[0][farthest]) ** 2).sum(-1)
+        distance = np.minimum(distance, dist)
+        farthest = int(distance.argmax())
+    got = np.asarray(farthest_point_sample(jnp.asarray(x), npoint))[0]
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_query_ball_point_matches_reference_semantics(rng):
+    """Numpy emulation of pointnet2_utils.py:84-104."""
+    xyz = rng.randn(2, 30, 3).astype(np.float32)
+    new_xyz = xyz[:, :5]
+    radius, nsample = 0.9, 8
+    got = np.asarray(
+        query_ball_point(radius, nsample, jnp.asarray(xyz), jnp.asarray(new_xyz))
+    )
+    N = 30
+    d = brute_sqdist(new_xyz, xyz)
+    for b in range(2):
+        for s in range(5):
+            gi = np.arange(N)
+            gi = np.where(d[b, s] > radius**2, N, gi)
+            gi = np.sort(gi)[:nsample]
+            first = gi[0]
+            gi = np.where(gi == N, first, gi)
+            np.testing.assert_array_equal(got[b, s], gi)
+
+
+def test_knn(rng):
+    x = rng.randn(2, 20, 3).astype(np.float32)
+    idx = np.asarray(knn(jnp.asarray(x), 4))
+    d = brute_sqdist(x, x)
+    for b in range(2):
+        for n in range(20):
+            expect = np.argsort(d[b, n])[:4]
+            assert set(idx[b, n].tolist()) == set(expect.tolist())
+    # nearest neighbour of each point is itself
+    assert (idx[:, :, 0] == np.arange(20)[None]).all()
+
+
+def test_three_nn_interpolate_exact_on_coincident(rng):
+    """Interpolating onto the same positions returns ~the original features."""
+    xyz = rng.randn(1, 12, 3).astype(np.float32)
+    feats = rng.randn(1, 12, 5).astype(np.float32)
+    out = np.asarray(three_nn_interpolate(jnp.asarray(xyz), jnp.asarray(xyz), jnp.asarray(feats)))
+    # nearest neighbor has distance 0 -> weight ~1 (eps-regularized)
+    np.testing.assert_allclose(out, feats, atol=1e-3)
+
+
+def test_emd_exact_vs_scipy(rng):
+    from scipy.optimize import linear_sum_assignment
+    from scipy.spatial.distance import cdist
+
+    x = rng.randn(2, 12, 3).astype(np.float32)
+    y = rng.randn(2, 12, 3).astype(np.float32)
+    expected = 0.0
+    for b in range(2):
+        d = cdist(x[b], y[b])
+        r, c = linear_sum_assignment(d)
+        expected += d[r, c].sum() / 12
+    expected /= 2
+    got = float(emd(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_emd_sinkhorn_close_to_exact(rng):
+    x = rng.randn(1, 16, 3).astype(np.float32)
+    y = (x + 0.01 * rng.randn(1, 16, 3)).astype(np.float32)
+    exact = float(emd(jnp.asarray(x), jnp.asarray(y)))
+    approx = float(emd_sinkhorn(jnp.asarray(x), jnp.asarray(y), epsilon=0.005, iters=200))
+    assert abs(exact - approx) < 0.05
+
+
+def test_fscore_identical_clouds(rng):
+    x = rng.randn(32, 3).astype(np.float32)
+    f, p, r = fscore(jnp.asarray(x), jnp.asarray(x))
+    assert float(f) == 1.0 and float(p) == 1.0 and float(r) == 1.0
+
+
+def test_fscore_far_clouds(rng):
+    x = rng.randn(32, 3).astype(np.float32)
+    f, p, r = fscore(jnp.asarray(x), jnp.asarray(x + 100.0))
+    assert float(f) == 0.0
+
+
+def test_topk_accuracy():
+    out = jnp.asarray([[0.1, 0.5, 0.4], [0.9, 0.05, 0.05]])
+    tgt = jnp.asarray([1, 2])
+    (top1,) = topk_accuracy(out, tgt, (1,))
+    (top2,) = topk_accuracy(out, tgt, (2,))
+    assert float(top1) == 50.0
+    assert float(top2) == 50.0
+    (top3,) = topk_accuracy(out, tgt, (3,))
+    assert float(top3) == 100.0
