@@ -1,0 +1,122 @@
+"""Benchmark: DDPM sampling throughput of the full-size SDM on one chip.
+
+Headline metric (BASELINE.md north star): denoiser steps/sec for the
+reference eval configuration — batch 1, 9 objects x 1024 points, T=1000
+DDPM (no respacing), full SceneDiffusionModel forward per step.
+
+``value``      = steps/sec of the jit-scanned sampler (ours).
+``vs_baseline``= speedup vs the *reference execution model* measured on the
+SAME hardware: one jitted denoiser step dispatched from a host Python loop
+per timestep, which is exactly how the reference drives its sampler
+(``diffusion/gaussian_diffusion.py:736-759`` — 1000 sequential launches).
+This isolates the architectural win (single fused scan vs host-driven
+stepping) from hardware differences; the reference repo publishes no
+absolute numbers to compare against (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "ddpm_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny shapes, quick")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--baseline_steps", type=int, default=50,
+                    help="host-loop steps to time (extrapolated)")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from lsdm_tpu import config as cfg_lib
+    from lsdm_tpu.config import SDMConfig
+    from lsdm_tpu.diffusion import make_schedule, p_sample_loop
+    from lsdm_tpu.diffusion.sampler import p_sample_step
+    from lsdm_tpu.models.sdm import SceneDiffusionModel
+
+    if args.smoke:
+        cfg = SDMConfig(
+            clip_dim=32, latent_dim=16, cat_emb=8, n_head=4, vert_dims=24,
+            pcd_points=32,
+        )
+        T = 20
+        baseline_steps = 5
+    else:
+        cfg = cfg_lib.sdm_proxd()  # full-size: 1024 pts, latent 128
+        T = args.steps
+        baseline_steps = args.baseline_steps
+
+    B, O, N = args.batch, cfg.max_objs, cfg.pcd_points
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (B, N, 3))
+    mask = jnp.zeros((B, O)).at[:, 1:5].set(1.0)
+    objs = jax.random.normal(ks[1], (B, O, N, 3))
+    cats = jax.nn.one_hot(jax.random.randint(ks[2], (B, O), 0, cfg.max_cats),
+                          cfg.max_cats)
+    text = jax.random.normal(ks[3], (B, cfg.clip_dim))
+
+    model = SceneDiffusionModel(cfg)
+    variables = model.init(ks[4], x, mask, jnp.zeros((B,), jnp.int32), objs,
+                           cats, text)
+    schedule = make_schedule("cosine", T)
+
+    def model_fn(x_t, tt):
+        return model.apply(variables, x_t, mask, tt, objs, cats, text)
+
+    # ---- ours: one scanned loop
+    @jax.jit
+    def sample(key):
+        s, _ = p_sample_loop(schedule, model_fn, (B, N, 3), key,
+                             clip_denoised=False)
+        return s
+
+    sample(jax.random.PRNGKey(1)).block_until_ready()  # compile
+    best = float("inf")
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        sample(jax.random.PRNGKey(2 + r)).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    ours_steps_per_sec = T / best
+
+    # ---- reference execution model: host loop of single jitted steps
+    @jax.jit
+    def one_step(x, t, key):
+        s, _, _ = p_sample_step(schedule, model_fn, x, t, key,
+                                clip_denoised=False)
+        return s
+
+    xb = jax.random.normal(jax.random.PRNGKey(9), (B, N, 3))
+    one_step(xb, jnp.full((B,), T - 1, jnp.int32),
+             jax.random.PRNGKey(0)).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    cur = xb
+    for i in range(baseline_steps):
+        t_i = jnp.full((B,), max(T - 1 - i, 0), jnp.int32)
+        cur = one_step(cur, t_i, jax.random.fold_in(jax.random.PRNGKey(1), i))
+        cur.block_until_ready()  # the reference syncs every step (host loop)
+    baseline_time = time.perf_counter() - t0
+    baseline_steps_per_sec = baseline_steps / baseline_time
+
+    result = {
+        "metric": "ddpm_steps_per_sec",
+        "value": round(ours_steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(ours_steps_per_sec / baseline_steps_per_sec, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

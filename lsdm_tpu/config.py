@@ -92,7 +92,9 @@ class TrainConfig:
 
     batch_size: int = 6
     lr: float = 1e-3
-    weight_decay: float = 0.0
+    # torch AdamW's default weight_decay, which the reference silently uses
+    # (run/train_sdm.py:42-43 passes only lr).
+    weight_decay: float = 0.01
     epochs: int = 1000
     eval_every: int = 50  # validate + checkpoint cadence
     schedule_sampler: str = "uniform"  # "uniform" | "loss-second-moment"

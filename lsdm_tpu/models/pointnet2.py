@@ -1,0 +1,168 @@
+"""PointNet++ backbone (reference ``model/pcd_backbone/pointnet2.py:43-80``
+and ``pointnet2_utils.py``), JAX/flax.
+
+Four SetAbstraction stages (FPS -> ball query -> grouped MLP -> maxpool)
+1024 -> 256 -> 64 -> 16 points, then four FeaturePropagation stages
+(3-NN inverse-distance interpolation) back to 1024, conv head ->
+(B, 1024, out_dim).
+
+TPU notes: all gathers are ``take_along_axis`` with static shapes; the
+grouped MLPs are Dense layers over the trailing channel axis (layout
+(B, S, K, C) instead of torch's (B, C, K, S) — same math, better XLA
+fusion); FPS is the on-device ``lax.scan`` from
+:func:`lsdm_tpu.ops.pointcloud.farthest_point_sample`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from lsdm_tpu.ops.pointcloud import (
+    farthest_point_sample,
+    index_points,
+    query_ball_point,
+    three_nn_interpolate,
+)
+
+
+class ConvBNBlock(nn.Module):
+    """1x1 conv (= Dense over channels) + BatchNorm + ReLU, the unit of both
+    SA and FP MLPs (reference ``pointnet2_utils.py:167-169,268-270``)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = nn.Dense(self.features, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return nn.relu(x)
+
+
+class PointNetSetAbstraction(nn.Module):
+    """(reference ``pointnet2_utils.py:158-199``)"""
+
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,  # (B, N, 3)
+        points: Optional[jax.Array],  # (B, N, D) or None
+        train: bool = False,
+        fps_key: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        B, N, C = xyz.shape
+        fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
+        new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
+        # nsample can exceed the available points in down-scaled test configs
+        idx = query_ball_point(self.radius, min(self.nsample, N), xyz, new_xyz)
+        grouped_xyz = index_points(xyz, idx)  # (B, S, K, 3)
+        grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
+        if points is not None:
+            grouped_points = index_points(points, idx)
+            new_points = jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
+        else:
+            new_points = grouped_xyz
+        for i, feats in enumerate(self.mlp):
+            new_points = ConvBNBlock(feats, dtype=self.dtype, name=f"mlp_{i}")(
+                new_points, train
+            )
+        new_points = jnp.max(new_points, axis=2)  # maxpool over the K samples
+        return new_xyz, new_points
+
+
+class PointNetFeaturePropagation(nn.Module):
+    """(reference ``pointnet2_utils.py:262-312``)"""
+
+    mlp: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz1: jax.Array,  # (B, N, 3) target positions
+        xyz2: jax.Array,  # (B, S, 3) source positions
+        points1: Optional[jax.Array],  # (B, N, D1) or None
+        points2: jax.Array,  # (B, S, D2)
+        train: bool = False,
+    ) -> jax.Array:
+        S = xyz2.shape[1]
+        if S == 1:
+            interpolated = jnp.broadcast_to(
+                points2, (points2.shape[0], xyz1.shape[1], points2.shape[2])
+            )
+        else:
+            interpolated = three_nn_interpolate(xyz1, xyz2, points2)
+        if points1 is not None:
+            new_points = jnp.concatenate([points1, interpolated], axis=-1)
+        else:
+            new_points = interpolated
+        for i, feats in enumerate(self.mlp):
+            new_points = ConvBNBlock(feats, dtype=self.dtype, name=f"mlp_{i}")(
+                new_points, train
+            )
+        return new_points
+
+
+class PointNet2Backbone(nn.Module):
+    """``get_backbone`` (reference ``pointnet2.py:43-80``): returns per-point
+    features (B, N, out_dim); the SDM uses out_dim = pcd_dim = 3."""
+
+    out_dim: int = 3
+    dropout_rate: float = 0.5
+    # Stage sizes; defaults are the reference's hardcoded 1024/256/64/16
+    # (pointnet2.py:46-49).  Configurable so tests can run tiny clouds.
+    sa_npoints: tuple = (1024, 256, 64, 16)
+    sa_nsample: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz: jax.Array,  # (B, N, 3)
+        train: bool = False,
+        fps_key: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        keys = (
+            jax.random.split(fps_key, 4) if fps_key is not None else [None] * 4
+        )
+        l0_xyz, l0_points = xyz, xyz
+        p1, p2, p3, p4 = self.sa_npoints
+        ns = self.sa_nsample
+        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), dtype=self.dtype, name="sa1")
+        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), dtype=self.dtype, name="sa2")
+        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), dtype=self.dtype, name="sa3")
+        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), dtype=self.dtype, name="sa4")
+        l1_xyz, l1_points = sa1(l0_xyz, l0_points, train, keys[0])
+        l2_xyz, l2_points = sa2(l1_xyz, l1_points, train, keys[1])
+        l3_xyz, l3_points = sa3(l2_xyz, l2_points, train, keys[2])
+        l4_xyz, l4_points = sa4(l3_xyz, l3_points, train, keys[3])
+
+        fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, name="fp4")
+        fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, name="fp3")
+        fp2 = PointNetFeaturePropagation((256, 128), dtype=self.dtype, name="fp2")
+        fp1 = PointNetFeaturePropagation((128, 128, 128), dtype=self.dtype, name="fp1")
+        l3_points = fp4(l3_xyz, l4_xyz, l3_points, l4_points, train)
+        l2_points = fp3(l2_xyz, l3_xyz, l2_points, l3_points, train)
+        l1_points = fp2(l1_xyz, l2_xyz, l1_points, l2_points, train)
+        l0_points = fp1(l0_xyz, l1_xyz, None, l1_points, train)
+
+        x = ConvBNBlock(128, dtype=self.dtype, name="head")(l0_points, train)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="conv2")(x)
+        return x

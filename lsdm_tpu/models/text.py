@@ -1,0 +1,334 @@
+"""Frozen text encoders for the conditioning pathway.
+
+The reference embeds prompts with a frozen fp16 CLIP ViT-B/32 text tower
+(or BERT-base) *inside* the denoiser forward (``model/sdm.py:245-285``).
+Since the encoder is frozen, we hoist it out of the jitted denoiser:
+
+  * :class:`CLIPTextTransformer` — the CLIP text tower architecture in flax
+    (vocab 49408, context 77, width 512, 12 layers, causal attention, EOT
+    pooling + text projection).  Load converted torch weights with
+    :func:`lsdm_tpu.train.checkpoint.convert_clip_text` for checkpoint
+    parity; random-init works for training from scratch.
+  * :class:`SimpleTokenizer` — CLIP's BPE when a merges file is available
+    (same scheme: lowercase, bytes-to-unicode, </w> word suffix).
+  * :class:`HashTokenizer` — deterministic offline fallback (no merges file
+    shipped in this environment): stable token ids from word hashes. Fine
+    for from-scratch training; flagged, never silently substituted.
+  * :class:`TextEncoder` — facade used by runners: list[str] -> (B, dim)
+    float32, with the reference's pad-to-77 scheme
+    (``model/sdm.py:248-255``: context 22, zero-padded to 77).
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import hashlib
+import os
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import numpy as np
+
+from lsdm_tpu.ops.attention import TorchLinear, multihead_attention
+
+
+class CLIPAttention(nn.Module):
+    width: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, causal_mask):
+        # torch clip uses a single in_proj (3E, E)
+        E = self.width
+        in_proj_w = self.param(
+            "in_proj_weight", nn.initializers.xavier_uniform(), (3 * E, E), jnp.float32
+        )
+        in_proj_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * E,), jnp.float32)
+        proj = x.astype(self.dtype) @ in_proj_w.T.astype(self.dtype) + in_proj_b.astype(self.dtype)
+        q, k, v = jnp.split(proj, 3, axis=-1)
+        out, _ = multihead_attention(q, k, v, self.heads, attn_mask=causal_mask, dtype=self.dtype)
+        return TorchLinear(E, dtype=self.dtype, name="out_proj")(out)
+
+
+class CLIPResidualBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, causal_mask):
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
+        x = x + CLIPAttention(self.width, self.heads, dtype=self.dtype, name="attn")(
+            y, causal_mask
+        )
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
+        h = TorchLinear(self.width * 4, dtype=self.dtype, name="mlp_c_fc")(y)
+        # CLIP uses QuickGELU: x * sigmoid(1.702 x)
+        h = h * jax.nn.sigmoid(1.702 * h)
+        x = x + TorchLinear(self.width, dtype=self.dtype, name="mlp_c_proj")(h)
+        return x
+
+
+class CLIPTextTransformer(nn.Module):
+    """CLIP ViT-B/32 text tower (embed_dim 512)."""
+
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    embed_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array) -> jax.Array:
+        # tokens: (B, context_length) int32
+        tok_emb = self.param(
+            "token_embedding",
+            nn.initializers.normal(0.02),
+            (self.vocab_size, self.width),
+            jnp.float32,
+        )
+        pos_emb = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (self.context_length, self.width),
+            jnp.float32,
+        )
+        x = tok_emb[tokens] + pos_emb[None]
+        L = self.context_length
+        causal = jnp.triu(jnp.full((L, L), -jnp.inf, jnp.float32), k=1)
+        for i in range(self.layers):
+            x = CLIPResidualBlock(
+                self.width, self.heads, dtype=self.dtype, name=f"resblock_{i}"
+            )(x, causal)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
+        # EOT token (highest token id) pooling, then projection
+        eot = jnp.argmax(tokens, axis=-1)
+        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        text_proj = self.param(
+            "text_projection",
+            nn.initializers.normal(self.width**-0.5),
+            (self.width, self.embed_dim),
+            jnp.float32,
+        )
+        return pooled @ text_proj
+
+
+def bytes_to_unicode():
+    """CLIP/GPT-2 byte <-> unicode table (standard public scheme)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+class SimpleTokenizer:
+    """CLIP BPE tokenizer; requires the public merges file
+    (``bpe_simple_vocab_16e6.txt.gz``) on disk."""
+
+    def __init__(self, bpe_path: str):
+        import regex as re  # standard dependency of the BPE scheme
+
+        self.re = re
+        merges = gzip.open(bpe_path).read().decode("utf-8").split("\n")
+        merges = merges[1 : 49152 - 256 - 2 + 1]
+        merges = [tuple(m.split()) for m in merges]
+        self.byte_encoder = bytes_to_unicode()
+        vocab = list(self.byte_encoder.values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        for merge in merges:
+            vocab.append("".join(merge))
+        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+        self.encoder = dict(zip(vocab, range(len(vocab))))
+        self.bpe_ranks = dict(zip(merges, range(len(merges))))
+        self.cache = {
+            "<|startoftext|>": "<|startoftext|>",
+            "<|endoftext|>": "<|endoftext|>",
+        }
+        self.pat = re.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+            re.IGNORECASE,
+        )
+
+    def bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+
+        def get_pairs(word):
+            return set(zip(word[:-1], word[1:]))
+
+        pairs = get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                    new_word.extend(word[i:j])
+                    i = j
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                if word[i] == first and i < len(word) - 1 and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = get_pairs(word)
+        result = " ".join(word)
+        self.cache[token] = result
+        return result
+
+    def encode(self, text: str) -> List[int]:
+        bpe_tokens: List[int] = []
+        text = " ".join(text.lower().strip().split())
+        for token in self.re.findall(self.pat, text):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            bpe_tokens.extend(
+                self.encoder[t] for t in self.bpe(token).split(" ")
+            )
+        return bpe_tokens
+
+    @property
+    def sot(self) -> int:
+        return self.encoder["<|startoftext|>"]
+
+    @property
+    def eot(self) -> int:
+        return self.encoder["<|endoftext|>"]
+
+
+class HashTokenizer:
+    """Deterministic fallback tokenizer: stable ids from word hashes.
+
+    Not CLIP-compatible (flagged) but gives a reproducible, collision-sparse
+    text conditioning signal so the full pipeline trains offline.
+    """
+
+    def __init__(self, vocab_size: int = 49408):
+        self.vocab_size = vocab_size
+        # reserve the two highest ids for SOT/EOT like CLIP
+        self._eot = vocab_size - 1
+        self._sot = vocab_size - 2
+
+    def encode(self, text: str) -> List[int]:
+        out = []
+        for word in text.lower().strip().split():
+            h = hashlib.sha1(word.encode("utf-8")).digest()
+            out.append(int.from_bytes(h[:4], "little") % (self.vocab_size - 2))
+        return out
+
+    @property
+    def sot(self) -> int:
+        return self._sot
+
+    @property
+    def eot(self) -> int:
+        return self._eot
+
+
+def tokenize_batch(
+    tokenizer, texts: Sequence[str], context_length: int = 22, pad_to: int = 77
+) -> np.ndarray:
+    """Reference tokenization contract (``model/sdm.py:248-255``):
+    [SOT] + tokens + [EOT] truncated to ``context_length`` (=max_text_len+2),
+    then zero-padded to the full CLIP context of 77."""
+    out = np.zeros((len(texts), pad_to), np.int32)
+    for i, t in enumerate(texts):
+        toks = [tokenizer.sot] + tokenizer.encode(t)[: context_length - 2] + [tokenizer.eot]
+        out[i, : len(toks)] = toks
+    return out
+
+
+class TextEncoder:
+    """Host-side facade: list[str] -> (B, dim) float32 embeddings.
+
+    encoder_type:
+      * "CLIP": flax CLIP text tower; weights from ``params`` (converted or
+        random-init), tokenizer from ``bpe_path`` or the hash fallback.
+      * "HASH": skip the transformer entirely — embed hashed bag-of-words
+        through a fixed random projection (fast, fully offline).
+      * "CACHED": look embeddings up from a prompt->vector dict.
+    """
+
+    def __init__(
+        self,
+        encoder_type: str = "CLIP",
+        dim: int = 512,
+        params=None,
+        bpe_path: Optional[str] = None,
+        cache: Optional[dict] = None,
+        seed: int = 0,
+    ):
+        self.encoder_type = encoder_type
+        self.dim = dim
+        self.cache = cache or {}
+        if encoder_type == "CLIP":
+            if bpe_path and os.path.exists(bpe_path):
+                self.tokenizer = SimpleTokenizer(bpe_path)
+            else:
+                self.tokenizer = HashTokenizer()
+            self.model = CLIPTextTransformer(embed_dim=dim)
+            if params is None:
+                params = self.model.init(
+                    jax.random.PRNGKey(seed), jnp.zeros((1, 77), jnp.int32)
+                )["params"]
+            self.params = params
+            self._apply = jax.jit(
+                lambda p, toks: self.model.apply({"params": p}, toks)
+            )
+        elif encoder_type == "HASH":
+            rng = np.random.RandomState(seed)
+            self._table = rng.randn(4096, dim).astype(np.float32) / np.sqrt(dim)
+        elif encoder_type == "CACHED":
+            pass
+        else:
+            raise NotImplementedError(encoder_type)
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        if self.encoder_type == "CACHED":
+            return np.stack([self.cache[t] for t in texts]).astype(np.float32)
+        uncached = [t for t in texts if t not in self.cache]
+        if uncached:
+            if self.encoder_type == "CLIP":
+                toks = tokenize_batch(self.tokenizer, uncached)
+                embs = np.asarray(self._apply(self.params, jnp.asarray(toks)))
+            else:  # HASH
+                embs = np.zeros((len(uncached), self.dim), np.float32)
+                for i, t in enumerate(uncached):
+                    ids = [
+                        int.from_bytes(
+                            hashlib.sha1(w.encode()).digest()[:4], "little"
+                        )
+                        % 4096
+                        for w in t.lower().split()
+                    ] or [0]
+                    embs[i] = self._table[ids].mean(0)
+            for t, e in zip(uncached, embs):
+                self.cache[t] = np.asarray(e, np.float32)
+        return np.stack([self.cache[t] for t in texts]).astype(np.float32)

@@ -1,0 +1,136 @@
+"""Multi-head attention with torch.nn.MultiheadAttention parity.
+
+The SDM uses two nonstandard MHAs (reference ``model/sdm.py:79,95``):
+
+  * ``attn_layer``:   embed_dim=128, heads=8,  kdim=32,  vdim=1024*3
+  * ``pcd_attention``: embed_dim=12, heads=12, kdim=3,   vdim=3 (head_dim=1!)
+
+Both rely on torch-specific semantics that this implementation reproduces:
+
+  * separate q/k/v input projections when kdim != vdim != embed_dim
+    (q: E<-E, k: E<-kdim, v: E<-vdim), shared output projection E<-E;
+  * a *float* ``attn_mask`` is ADDED to the attention logits (the reference
+    passes the 0/1 object mask as float, so "given" objects get a +1 logit
+    bias — quirky but what trained checkpoints expect, ``model/sdm.py:180-182``);
+  * returned attention weights are averaged over heads.
+
+Exposed both as a pure function (for Pallas-fusible call sites) and a flax
+module with torch-layout parameters (weights stored (out, in) to make the
+checkpoint converter a plain copy).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def multihead_attention(
+    q: jax.Array,  # (B, L, E) already projected
+    k: jax.Array,  # (B, S, E)
+    v: jax.Array,  # (B, S, E)
+    num_heads: int,
+    attn_mask: Optional[jax.Array] = None,  # additive, (B*H, L, S) or (L, S)
+    dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Scaled dot-product attention over merged heads.
+
+    Returns (output (B, L, E), weights averaged over heads (B, L, S)).
+    """
+    B, L, E = q.shape
+    S = k.shape[1]
+    H = num_heads
+    Dh = E // H
+    assert H * Dh == E, "embed_dim must divide num_heads"
+
+    qh = q.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)  # (B, H, L, Dh)
+    kh = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+
+    scale = 1.0 / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+    logits = jnp.einsum(
+        "bhld,bhsd->bhls", qh * scale, kh, preferred_element_type=jnp.float32
+    )
+    if attn_mask is not None:
+        if attn_mask.ndim == 3:  # torch convention: (B*H, L, S)
+            logits = logits + attn_mask.reshape(B, H, L, S).astype(logits.dtype)
+        else:  # (L, S)
+            logits = logits + attn_mask.astype(logits.dtype)[None, None]
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhls,bhsd->bhld", weights.astype(dtype), vh,
+        preferred_element_type=jnp.float32,
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
+    return out, jnp.mean(weights, axis=1)  # torch averages heads by default
+
+
+class TorchLinear(nn.Module):
+    """Linear layer with torch parameter layout: weight (out, in), bias (out,).
+
+    Keeping torch layout makes torch->jax checkpoint conversion a key-rename
+    with no transposes, at zero runtime cost (XLA folds the transpose).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        weight = self.param(
+            "weight",
+            nn.initializers.lecun_normal(),
+            (self.features, in_features),
+            jnp.float32,
+        )
+        y = x.astype(self.dtype) @ weight.T.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class TorchMultiheadAttention(nn.Module):
+    """torch.nn.MultiheadAttention(batch_first=True) parity module.
+
+    Parameter names mirror torch's (``q_proj_weight``/``k_proj_weight``/
+    ``v_proj_weight``/``in_proj_bias``/``out_proj``) so the checkpoint
+    converter maps 1:1.  Only the kdim!=vdim ("unmerged") torch path is
+    implemented because that's all the SDM uses.
+    """
+
+    embed_dim: int
+    num_heads: int
+    kdim: int
+    vdim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,  # (B, L, E)
+        key: jax.Array,  # (B, S, kdim)
+        value: jax.Array,  # (B, S, vdim)
+        attn_mask: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array]:
+        E = self.embed_dim
+        init = nn.initializers.xavier_uniform()
+        q_w = self.param("q_proj_weight", init, (E, E), jnp.float32)
+        k_w = self.param("k_proj_weight", init, (E, self.kdim), jnp.float32)
+        v_w = self.param("v_proj_weight", init, (E, self.vdim), jnp.float32)
+        in_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * E,), jnp.float32)
+
+        q = query.astype(self.dtype) @ q_w.T.astype(self.dtype) + in_b[:E].astype(self.dtype)
+        k = key.astype(self.dtype) @ k_w.T.astype(self.dtype) + in_b[E : 2 * E].astype(self.dtype)
+        v = value.astype(self.dtype) @ v_w.T.astype(self.dtype) + in_b[2 * E :].astype(self.dtype)
+
+        out, weights = multihead_attention(
+            q, k, v, self.num_heads, attn_mask=attn_mask, dtype=self.dtype
+        )
+        out = TorchLinear(E, dtype=self.dtype, name="out_proj")(out)
+        return out, weights

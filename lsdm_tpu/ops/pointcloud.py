@@ -174,7 +174,8 @@ def three_nn_interpolate(
     xyz1: (B, N, 3); xyz2: (B, S, 3); points2: (B, S, C) -> (B, N, C).
     """
     d = square_distance(xyz1, xyz2)  # (B, N, S)
-    neg_top, idx = jax.lax.top_k(-d, 3)  # (B, N, 3)
+    k = min(3, xyz2.shape[1])  # reference always has S>=16; tiny configs don't
+    neg_top, idx = jax.lax.top_k(-d, k)  # (B, N, k)
     dists = -neg_top
     dist_recip = 1.0 / (dists + eps)
     norm = jnp.sum(dist_recip, axis=2, keepdims=True)

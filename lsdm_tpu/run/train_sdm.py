@@ -1,0 +1,107 @@
+"""Train the SceneDiffusionModel (reference ``run/train_sdm.py``).
+
+Usage:
+  python -m lsdm_tpu.run.train_sdm --train_data_dir data/protext/proxd_train \
+      --valid_data_dir data/protext/proxd_valid --save_dir training_output \
+      [--datatype proxd|humanise] [--epochs N] [--batch_size 6]
+      [--mesh DATAxMODEL] [--text_encoder CLIP|HASH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Train LSDM on TPU")
+    ap.add_argument("--train_data_dir", required=True)
+    ap.add_argument("--valid_data_dir", default=None)
+    ap.add_argument("--objs_data_dir", default=None)
+    ap.add_argument("--save_dir", default="training_output")
+    ap.add_argument("--datatype", default="proxd", choices=["proxd", "humanise"])
+    ap.add_argument("--epochs", type=int, default=1000)
+    ap.add_argument("--batch_size", type=int, default=6)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--eval_every", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--mesh", default=None, help="e.g. 4x2 = data x model axes")
+    ap.add_argument("--text_encoder", default="HASH", choices=["CLIP", "HASH"])
+    ap.add_argument("--bpe_path", default=None)
+    ap.add_argument("--load_ckpt", default=None)
+    ap.add_argument("--diffusion_steps", type=int, default=1000)
+    ap.add_argument("--noise_schedule", default="cosine")
+    ap.add_argument(
+        "--platform", default=None,
+        help="force a jax platform (e.g. cpu); the ambient axon TPU backend "
+        "registers at interpreter startup, so JAX_PLATFORMS is too late",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from lsdm_tpu import config as cfg_lib
+    from lsdm_tpu.config import DiffusionConfig, TrainConfig
+    from lsdm_tpu.data.dataset import DataLoader, Humanise, ProxDatasetTxt
+    from lsdm_tpu.models.text import TextEncoder
+    from lsdm_tpu.parallel import make_mesh
+    from lsdm_tpu.train import checkpoint as ckpt_lib
+    from lsdm_tpu.train.trainer import Trainer
+
+    model_cfg = (
+        cfg_lib.sdm_proxd() if args.datatype == "proxd" else cfg_lib.sdm_humanise()
+    )
+    diff_cfg = DiffusionConfig(
+        steps=args.diffusion_steps, noise_schedule=args.noise_schedule
+    )
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size,
+        lr=args.lr,
+        epochs=args.epochs,
+        eval_every=args.eval_every,
+        seed=args.seed,
+    )
+
+    ds_cls = ProxDatasetTxt if args.datatype == "proxd" else Humanise
+    objs_kw = {}
+    if args.objs_data_dir:
+        objs_kw["objs_data_dir"] = args.objs_data_dir
+    train_ds = ds_cls(args.train_data_dir, max_cats=model_cfg.max_cats, **objs_kw)
+    train_loader = DataLoader(
+        train_ds, args.batch_size, shuffle=True, seed=args.seed, drop_last=True
+    )
+    valid_loader = None
+    if args.valid_data_dir:
+        valid_ds = ds_cls(args.valid_data_dir, max_cats=model_cfg.max_cats, **objs_kw)
+        valid_loader = DataLoader(valid_ds, args.batch_size, shuffle=False)
+
+    mesh = None
+    if args.mesh:
+        d, m = (int(x) for x in args.mesh.split("x"))
+        mesh = make_mesh((d, m))
+
+    text_encoder = TextEncoder(
+        args.text_encoder, dim=model_cfg.clip_dim, bpe_path=args.bpe_path
+    )
+
+    trainer = Trainer(
+        model_cfg, diff_cfg, train_cfg,
+        text_encoder=text_encoder, mesh=mesh, save_dir=args.save_dir,
+    )
+    trainer.init_state(next(iter(train_loader)), args.seed)
+    if args.load_ckpt:
+        trainer.state, extra = ckpt_lib.load(args.load_ckpt, trainer.state)
+        print(f"resumed from {args.load_ckpt}: {extra}")
+
+    print(
+        f"training on {jax.devices()} | {len(train_ds)} sequences | "
+        f"bs={args.batch_size} | {args.epochs} epochs"
+    )
+    trainer.fit(train_loader, valid_loader, epochs=args.epochs, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+"""Checkpoint save/load + torch .pt state_dict conversion.
+
+Native format: flax msgpack serialization of the TrainState pytree plus a
+small JSON sidecar of metadata (epoch/losses), mirroring the reference's
+``torch.save({'epoch', 'model_state_dict', ...})`` contract
+(``run/train_sdm.py:294-337``).
+
+``convert_torch_state_dict`` maps a reference ``model_state_dict`` (torch
+tensor names) onto our flax param tree so released checkpoints can be
+evaluated for CFD/F1 parity (BASELINE.md north star).  CLIP weights are
+excluded exactly like the reference's ``load_model_wo_clip``
+(``util/model_util.py:10-13``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from lsdm_tpu.train.state import TrainState
+
+
+def save(path: str, state: TrainState, extra: Optional[dict] = None):
+    data = serialization.to_bytes(state)
+    with open(path, "wb") as f:
+        f.write(data)
+    if extra is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(extra, f)
+
+
+def load(path: str, template: TrainState) -> Tuple[TrainState, dict]:
+    with open(path, "rb") as f:
+        state = serialization.from_bytes(template, f.read())
+    extra = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            extra = json.load(f)
+    return state, extra
+
+
+# ---------------------------------------------------------------------------
+# torch -> flax conversion
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = jnp.asarray(value)
+
+
+def _seq_path(torch_key: str) -> Tuple[str, ...]:
+    """torch ``a.0.weight`` -> ("a", "0", "weight") keeping numeric names."""
+    return tuple(torch_key.split("."))
+
+
+def convert_torch_state_dict(
+    state_dict: Dict[str, "np.ndarray"],
+    max_cats: int = 13,
+) -> Tuple[Dict, Dict]:
+    """Convert a reference SDM ``model_state_dict`` to (params, batch_stats).
+
+    Accepts a dict of numpy arrays (call ``{k: v.numpy() for k, v in
+    torch.load(...)['model_state_dict'].items()}`` first; torch itself is
+    not imported here).
+
+    Layout notes:
+      * our Linears keep torch layout (out, in) -> direct copy;
+      * flax Dense (used in the PointNet++ backbone) wants (in, out) and the
+        torch side is Conv1d/2d with trailing 1x1 dims -> squeeze + T;
+      * GroupNorm/LayerNorm/BatchNorm: weight->scale, bias->bias;
+      * BatchNorm running stats -> the ``batch_stats`` collection;
+      * torch Sequential indices map to our "0"/"2"/... TorchLinear names;
+      * ``clip_model.*`` / text-tower keys are skipped (frozen encoder is
+        external, util/model_util.py:10-13 behavior).
+    """
+    params: Dict = {}
+    batch_stats: Dict = {}
+
+    # pcd_backbone structural tables: torch module names -> ours
+    sa_re = re.compile(r"pcd_backbone\.(sa\d)\.mlp_(convs|bns)\.(\d)\.(.+)")
+    fp_re = re.compile(r"pcd_backbone\.(fp\d)\.mlp_(convs|bns)\.(\d)\.(.+)")
+    head_conv_re = re.compile(r"pcd_backbone\.conv1\.(.+)")
+    head_bn_re = re.compile(r"pcd_backbone\.bn1\.(.+)")
+    out_conv_re = re.compile(r"pcd_backbone\.conv2\.(.+)")
+
+    def conv_to_dense(v: np.ndarray) -> np.ndarray:
+        # Conv2d (out, in, 1, 1) / Conv1d (out, in, 1) -> Dense kernel (in, out)
+        v = np.asarray(v)
+        v = v.reshape(v.shape[0], v.shape[1])
+        return v.T
+
+    def put_bn(prefix: Tuple[str, ...], leaf: str, v: np.ndarray):
+        v = np.asarray(v)
+        if leaf == "weight":
+            _set(params, prefix + ("scale",), v)
+        elif leaf == "bias":
+            _set(params, prefix + ("bias",), v)
+        elif leaf == "running_mean":
+            _set(batch_stats, prefix + ("mean",), v)
+        elif leaf == "running_var":
+            _set(batch_stats, prefix + ("var",), v)
+        # num_batches_tracked dropped
+
+    for key, val in state_dict.items():
+        v = np.asarray(val)
+        if key.startswith("clip_model.") or key.startswith("text_encoder_model."):
+            continue
+        if key.startswith("sequence_pos_encoder."):
+            continue  # fixed sinusoidal table, not a parameter here
+
+        # --- timestep embedder
+        m = re.match(r"embed_timestep\.time_embed\.(\d)\.(weight|bias)", key)
+        if m:
+            _set(params, ("embed_timestep", f"time_embed_{m.group(1)}", m.group(2)), v)
+            continue
+
+        # --- plain sequential MLPs kept under the same names
+        m = re.match(
+            r"(embed_text|predict_cat|embed_cat|translation_layer|"
+            r"point_wise_trans_layer|upsampling_layer|combine_extraction)"
+            r"\.(\d+)\.(weight|bias)",
+            key,
+        )
+        if m:
+            _set(params, (m.group(1), m.group(2), m.group(3)), v)
+            continue
+
+        # --- attentions
+        m = re.match(r"(attn_layer|pcd_attention)\.(q_proj_weight|k_proj_weight|"
+                     r"v_proj_weight|in_proj_bias)", key)
+        if m:
+            _set(params, (m.group(1), m.group(2)), v)
+            continue
+        m = re.match(r"(attn_layer|pcd_attention)\.out_proj\.(weight|bias)", key)
+        if m:
+            _set(params, (m.group(1), "out_proj", m.group(2)), v)
+            continue
+
+        # --- input/output process
+        m = re.match(
+            r"input_process\.(pose_embedding|combination_extraction)\.(\d)\.(weight|bias)",
+            key,
+        )
+        if m:
+            _set(params, ("input_process", m.group(1), m.group(2), m.group(3)), v)
+            continue
+        m = re.match(r"output_process\.pose_final\.(\d)\.(weight|bias)", key)
+        if m:
+            _set(params, ("output_process", "pose_final", m.group(1), m.group(2)), v)
+            continue
+
+        # --- human backbone (POSA decoder): de_spiral.N.{conv.layer|layer|norm}
+        m = re.match(r"human_backbone\.de_spiral\.(\d)\.conv\.layer\.(weight|bias)", key)
+        if m:
+            _set(params, ("human_backbone", f"de_spiral_{m.group(1)}", "conv",
+                          m.group(2)), v)
+            continue
+        m = re.match(r"human_backbone\.de_spiral\.(\d)\.layer\.(weight|bias)", key)
+        if m:  # final bare SpiralConv
+            _set(params, ("human_backbone", f"de_spiral_{m.group(1)}", "layer",
+                          m.group(2)), v)
+            continue
+        m = re.match(r"human_backbone\.de_spiral\.(\d)\.norm\.(weight|bias)", key)
+        if m:
+            leaf = "scale" if m.group(2) == "weight" else "bias"
+            _set(params, ("human_backbone", f"de_spiral_{m.group(1)}", "norm", leaf), v)
+            continue
+
+        # --- pcd backbone
+        m = sa_re.match(key) or fp_re.match(key)
+        if m:
+            block, kind, idx, leaf = m.groups()
+            ours = (block, f"mlp_{idx}")
+            if kind == "convs":
+                if leaf == "weight":
+                    _set(params, ("pcd_backbone",) + ours + ("conv", "kernel"),
+                         conv_to_dense(v))
+                else:
+                    _set(params, ("pcd_backbone",) + ours + ("conv", "bias"), v)
+            else:  # bns
+                put_bn(("pcd_backbone",) + ours + ("bn",), leaf, v)
+            continue
+        m = head_conv_re.match(key)
+        if m:
+            leaf = m.group(1)
+            if leaf == "weight":
+                _set(params, ("pcd_backbone", "head", "conv", "kernel"), conv_to_dense(v))
+            elif leaf == "bias":
+                _set(params, ("pcd_backbone", "head", "conv", "bias"), v)
+            continue
+        m = head_bn_re.match(key)
+        if m:
+            put_bn(("pcd_backbone", "head", "bn"), m.group(1), v)
+            continue
+        m = out_conv_re.match(key)
+        if m:
+            leaf = m.group(1)
+            if leaf == "weight":
+                _set(params, ("pcd_backbone", "conv2", "kernel"), conv_to_dense(v))
+            elif leaf == "bias":
+                _set(params, ("pcd_backbone", "conv2", "bias"), v)
+            continue
+
+        raise KeyError(f"unmapped reference parameter: {key} {v.shape}")
+
+    # torch BN moving stats live per ConvBNBlock under name "bn"
+    return params, batch_stats
+
+
+def load_torch_checkpoint(path: str, max_cats: int = 13):
+    """Load a reference ``.pt`` checkpoint file (requires torch on host)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state_dict", ckpt)
+    np_sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    params, batch_stats = convert_torch_state_dict(np_sd, max_cats=max_cats)
+    extra = {k: v for k, v in ckpt.items() if not hasattr(v, "detach")}
+    return params, batch_stats, extra

@@ -1,0 +1,277 @@
+"""Training and evaluation steps + the epoch loop.
+
+TPU re-design of the reference trainer (``run/train_sdm.py:30-183``):
+
+  * one jitted, donated train step: q_sample + denoiser forward +
+    chamfer/CE loss + AdamW update + BatchNorm stats, all fused on device;
+  * timestep sampling on device (uniform, ``run/train_sdm.py:32``);
+  * validation runs the *scanned* sampler (1000 sequential denoiser calls in
+    one compiled loop vs. the reference's 1000 Python-driven launches,
+    ``run/train_sdm.py:110-183``);
+  * data-parallel by construction: pass a Mesh and batches get sharded on
+    the ``data`` axis; gradients/metrics are reduced by XLA SPMD.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lsdm_tpu.config import DiffusionConfig, SDMConfig, TrainConfig
+from lsdm_tpu.data.dataset import Batch, DataLoader
+from lsdm_tpu.diffusion import make_schedule, p_sample_loop, training_losses
+from lsdm_tpu.models.sdm import SceneDiffusionModel
+from lsdm_tpu.ops.metrics import topk_accuracy
+from lsdm_tpu.ops.pointcloud import chamfer_distance
+from lsdm_tpu.parallel import mesh as mesh_lib
+from lsdm_tpu.train import checkpoint as ckpt_lib
+from lsdm_tpu.train.state import TrainState, create_train_state, make_optimizer
+from lsdm_tpu.utils.logger import KVLogger
+
+
+def make_train_step(
+    model: SceneDiffusionModel,
+    schedule,
+    tx: optax.GradientTransformation,
+    lambda_cat: float = 0.1,
+):
+    """Returns jitted ``step(state, batch_arrays, text_emb, key) ->
+    (state, metrics)``.  ``state`` is donated."""
+
+    def step(state: TrainState, mask, objs, cats, target, target_cat, text_emb, key):
+        B = target.shape[0]
+        t_key, noise_key, drop_key = jax.random.split(key, 3)
+        t = jax.random.randint(t_key, (B,), 0, schedule.num_timesteps)
+        noise = jax.random.normal(noise_key, target.shape, jnp.float32)
+
+        def loss_fn(params):
+            mutated = {}
+
+            def model_fn(x_t, tt):
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    x_t, mask, tt, objs, cats, text_emb, True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": drop_key},
+                )
+                mutated["batch_stats"] = mut["batch_stats"]
+                return out
+
+            terms = training_losses(
+                schedule, model_fn, target, t, target_cat, noise,
+                lambda_cat=lambda_cat,
+            )
+            return terms["loss"], (terms, mutated["batch_stats"])
+
+        (loss, (terms, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {
+            "loss": loss,
+            "mse": terms["mse"],
+            "cat_loss": terms["cat_loss"],
+            "grad_norm": gnorm,
+        }
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def make_eval_step(model: SceneDiffusionModel, schedule, clip_denoised: bool = False):
+    """Returns jitted ``eval_step(state, batch_arrays, text_emb, key) ->
+    (sample, chamfer, cat_probs, guiding)``: full scanned sampling + metrics,
+    mirroring the reference validation (``run/train_sdm.py:110-183``) and
+    test (``run/test_sdm.py:146-208``) protocol."""
+
+    def eval_step(state: TrainState, mask, objs, cats, target, text_emb, key):
+        B, N = target.shape[0], target.shape[1]
+
+        def model_fn(x_t, tt):
+            return model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x_t, mask, tt, objs, cats, text_emb, False,
+            )
+
+        sample, last_out = p_sample_loop(
+            schedule, model_fn, (B, N, 3), key, clip_denoised=clip_denoised
+        )
+        cfd = chamfer_distance(sample, target)
+        return sample, cfd, last_out.cat, last_out.guiding
+
+    return jax.jit(eval_step)
+
+
+class Trainer:
+    """Epoch loop with validation + best-checkpoint tracking
+    (reference ``run/train_sdm.py:186-337``)."""
+
+    def __init__(
+        self,
+        model_cfg: SDMConfig,
+        diff_cfg: DiffusionConfig = DiffusionConfig(),
+        train_cfg: TrainConfig = TrainConfig(),
+        text_encoder=None,
+        mesh=None,
+        save_dir: str = "training_output",
+    ):
+        self.model_cfg = model_cfg
+        self.diff_cfg = diff_cfg
+        self.train_cfg = train_cfg
+        self.save_dir = save_dir
+        os.makedirs(save_dir, exist_ok=True)
+        self.mesh = mesh
+
+        obj_shard = mesh_lib.obj_sharding(mesh) if mesh is not None else None
+        self.model = SceneDiffusionModel(model_cfg, obj_sharding=obj_shard)
+        self.schedule = make_schedule(diff_cfg.noise_schedule, diff_cfg.steps)
+        self.tx = make_optimizer(train_cfg.lr, train_cfg.weight_decay)
+        if text_encoder is None:
+            from lsdm_tpu.models.text import TextEncoder
+
+            text_encoder = TextEncoder("HASH", dim=model_cfg.clip_dim)
+        self.text_encoder = text_encoder
+        self.logger = KVLogger(os.path.join(save_dir, "logs"))
+        self._train_step = make_train_step(
+            self.model, self.schedule, self.tx, diff_cfg.lambda_cat
+        )
+        self._eval_step = make_eval_step(self.model, self.schedule)
+        self.state: Optional[TrainState] = None
+
+    def init_state(self, sample_batch: Batch, seed: int = 0) -> TrainState:
+        b = sample_batch
+        text_emb = self.text_encoder.encode(b.text)
+        variables = self.model.init(
+            jax.random.PRNGKey(seed),
+            jnp.asarray(b.target_verts),
+            jnp.asarray(b.mask),
+            jnp.zeros((b.mask.shape[0],), jnp.int32),
+            jnp.asarray(b.given_objs),
+            jnp.asarray(b.given_cats),
+            jnp.asarray(text_emb),
+        )
+        self.state = create_train_state(variables, self.tx)
+        return self.state
+
+    def _device_batch(self, b: Batch):
+        arrays = (
+            jnp.asarray(b.mask),
+            jnp.asarray(b.given_objs),
+            jnp.asarray(b.given_cats),
+            jnp.asarray(b.target_verts),
+            jnp.asarray(b.target_cat),
+            jnp.asarray(self.text_encoder.encode(b.text)),
+        )
+        if self.mesh is not None:
+            arrays = tuple(
+                jax.device_put(a, mesh_lib.batch_sharding(self.mesh, a.ndim))
+                for a in arrays
+            )
+        return arrays
+
+    def train_epoch(self, loader: DataLoader, epoch: int, key) -> Dict[str, float]:
+        assert self.state is not None, "call init_state first"
+        totals: Dict[str, float] = {}
+        count = 0
+        for i, batch in enumerate(loader):
+            mask, objs, cats, target, target_cat, text_emb = self._device_batch(batch)
+            step_key = jax.random.fold_in(key, epoch * 100003 + i)
+            self.state, metrics = self._train_step(
+                self.state, mask, objs, cats, target, target_cat, text_emb, step_key
+            )
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            count += 1
+        means = {k: v / max(count, 1) for k, v in totals.items()}
+        for k, v in means.items():
+            self.logger.log(f"train/{k}", v, step=epoch)
+        return means
+
+    def validate(self, loader: DataLoader, epoch: int, key) -> Dict[str, float]:
+        """Full sampling validation: chamfer + category accuracy
+        (reference ``run/train_sdm.py:110-183``)."""
+        assert self.state is not None
+        cfds, accs, top3s = [], [], []
+        for i, batch in enumerate(loader):
+            mask, objs, cats, target, target_cat, text_emb = self._device_batch(batch)
+            k = jax.random.fold_in(key, i)
+            sample, cfd, cat_probs, _ = self._eval_step(
+                self.state, mask, objs, cats, target, text_emb, k
+            )
+            cfds.append(float(cfd))
+            tgt = jnp.argmax(target_cat, axis=1)
+            probs = cat_probs[:, 0, :]
+            (top1,) = topk_accuracy(probs, tgt, (1,))
+            (top3,) = topk_accuracy(probs, tgt, (3,))
+            accs.append(float(top1))
+            top3s.append(float(top3))
+        out = {
+            "cfd": float(np.mean(cfds)),
+            "acc": float(np.mean(accs)),
+            "top3_acc": float(np.mean(top3s)),
+        }
+        for k, v in out.items():
+            self.logger.log(f"valid/{k}", v, step=epoch)
+        return out
+
+    def fit(
+        self,
+        train_loader: DataLoader,
+        valid_loader: Optional[DataLoader] = None,
+        epochs: Optional[int] = None,
+        seed: int = 0,
+    ):
+        """Train with best-by-valid-loss / best-by-CFD checkpointing
+        (reference ``run/train_sdm.py:294-337``)."""
+        cfg = self.train_cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        key = jax.random.PRNGKey(seed)
+        if self.state is None:
+            self.init_state(next(iter(train_loader)), seed)
+        best_train = float("inf")
+        best_cfd = float("inf")
+        for epoch in range(epochs):
+            t0 = time.time()
+            means = self.train_epoch(train_loader, epoch, key)
+            dt = time.time() - t0
+            self.logger.log("train/epoch_seconds", dt, step=epoch)
+            if means["loss"] < best_train:
+                best_train = means["loss"]
+                ckpt_lib.save(
+                    os.path.join(self.save_dir, "best_model_train_loss.ckpt"),
+                    self.state, extra={"epoch": epoch, "train_loss": means["loss"]},
+                )
+            if valid_loader is not None and (epoch + 1) % cfg.eval_every == 0:
+                val = self.validate(
+                    valid_loader, epoch, jax.random.fold_in(key, 0x7FFFFFFF - epoch)
+                )
+                if val["cfd"] < best_cfd:
+                    best_cfd = val["cfd"]
+                    ckpt_lib.save(
+                        os.path.join(self.save_dir, "best_model_cfd.ckpt"),
+                        self.state, extra={"epoch": epoch, "cfd": val["cfd"]},
+                    )
+                ckpt_lib.save(
+                    os.path.join(self.save_dir, f"epoch_{epoch:04d}.ckpt"),
+                    self.state, extra={"epoch": epoch},
+                )
+        ckpt_lib.save(
+            os.path.join(self.save_dir, "final.ckpt"), self.state,
+            extra={"epoch": epochs - 1},
+        )
+        return self.state
