@@ -105,25 +105,45 @@ class SceneDiffusionModel(nn.Module):
         )(emb)  # (B, 2D, num_points)
         emb = jnp.transpose(emb, (0, 2, 1))  # (B, num_points, 2D)
 
-        # 6) backbones (reference :173-177)
+        # 6) backbones (reference :173-177; selection :96-104)
         hm_in = jax.lax.stop_gradient(given_objs[:, 0])
-        hm_out = POSADecoderBackbone(
-            vert_dims=cfg.vert_dims,
-            pcd_points=cfg.pcd_points,
-            dtype=dtype,
-            name="human_backbone",
-        )(hm_in)  # (B, N, 3)
+        if cfg.human_backbone_type == "P2R":
+            from lsdm_tpu.models.stgcn import STGCN
+
+            hm_out = STGCN(
+                joint_num=cfg.pcd_points,
+                out_channels=cfg.pcd_points * cfg.xyz_dim,
+                dtype=dtype,
+                name="human_backbone",
+            )(hm_in, train=train)
+        else:
+            hm_out = POSADecoderBackbone(
+                vert_dims=cfg.vert_dims,
+                pcd_points=cfg.pcd_points,
+                dtype=dtype,
+                name="human_backbone",
+            )(hm_in)  # (B, N, 3)
         objs_flat = given_objs.reshape(B * num_obj, num_points, xyz)
         if self.obj_sharding is not None:
             objs_flat = jax.lax.with_sharding_constraint(objs_flat, self.obj_sharding)
         N = cfg.pcd_points
-        pcd_out = PointNet2Backbone(
-            out_dim=cfg.pcd_dim,
-            sa_npoints=(N, max(N // 4, 4), max(N // 16, 2), max(N // 64, 1)),
-            sa_nsample=min(32, N),
-            dtype=dtype,
-            name="pcd_backbone",
-        )(objs_flat, train=train)  # (B*num_obj, N, pcd_dim)
+        if cfg.pcd_backbone_type == "DGCNN":
+            from lsdm_tpu.models.dgcnn import DGCNN
+
+            pcd_out = DGCNN(
+                emb_dims=cfg.clip_dim,
+                output_channels=cfg.pcd_points * cfg.xyz_dim,
+                dtype=dtype,
+                name="pcd_backbone",
+            )(objs_flat, train=train)
+        else:
+            pcd_out = PointNet2Backbone(
+                out_dim=cfg.pcd_dim,
+                sa_npoints=(N, max(N // 4, 4), max(N // 16, 2), max(N // 64, 1)),
+                sa_nsample=min(32, N),
+                dtype=dtype,
+                name="pcd_backbone",
+            )(objs_flat, train=train)  # (B*num_obj, N, pcd_dim)
         pcd_out = pcd_out.reshape(B, num_obj, num_points * cfg.pcd_dim)
 
         # 7) text x cat x pcd cross attention (reference :79,180-182)
