@@ -1,0 +1,12 @@
+"""Evaluate the cf_atiss baseline (reference ``run/test_cf_atiss.py``)."""
+
+from lsdm_tpu.run._baseline_common import make_arg_parser, eval_baseline
+
+
+def main():
+    args = make_arg_parser(train=False).parse_args()
+    eval_baseline(args, "cf_atiss")
+
+
+if __name__ == "__main__":
+    main()
