@@ -54,6 +54,10 @@ class SDMConfig:
     human_backbone_type: str = "POSA"  # "POSA" | "P2R"
     text_encoder_type: str = "CLIP"  # "CLIP" | "BERT" | "HASH" | "CACHED"
     clip_version: str = "ViT-B/32"
+    # FPS policy in the PointNet++ backbone: "auto" skips the sequential
+    # selection scan when it would select all points anyway (sa1 at N=1024);
+    # "exact" always runs the reference's sequential loop.
+    fps_mode: str = "auto"
     # Compute dtype for the denoiser body (params stay fp32).
     dtype: str = "float32"
 

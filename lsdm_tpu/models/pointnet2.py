@@ -56,6 +56,10 @@ class PointNetSetAbstraction(nn.Module):
     radius: float
     nsample: int
     mlp: Sequence[int]
+    # "auto": skip the sequential FPS scan when npoint == N (selecting ALL
+    # points — only their order changes, which downstream ops don't depend
+    # on); "exact": always run the reference's sequential selection.
+    fps_mode: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -67,8 +71,11 @@ class PointNetSetAbstraction(nn.Module):
         fps_key: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         B, N, C = xyz.shape
-        fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
-        new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
+        if self.fps_mode == "auto" and self.npoint == N:
+            new_xyz = xyz  # FPS of N points out of N = identity set
+        else:
+            fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
+            new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
         # nsample can exceed the available points in down-scaled test configs
         idx = query_ball_point(self.radius, min(self.nsample, N), xyz, new_xyz)
         grouped_xyz = index_points(xyz, idx)  # (B, S, K, 3)
@@ -129,6 +136,7 @@ class PointNet2Backbone(nn.Module):
     # (pointnet2.py:46-49).  Configurable so tests can run tiny clouds.
     sa_npoints: tuple = (1024, 256, 64, 16)
     sa_nsample: int = 32
+    fps_mode: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -144,10 +152,10 @@ class PointNet2Backbone(nn.Module):
         l0_xyz, l0_points = xyz, xyz
         p1, p2, p3, p4 = self.sa_npoints
         ns = self.sa_nsample
-        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), dtype=self.dtype, name="sa1")
-        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), dtype=self.dtype, name="sa2")
-        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), dtype=self.dtype, name="sa3")
-        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), dtype=self.dtype, name="sa4")
+        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, name="sa1")
+        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, name="sa2")
+        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, name="sa3")
+        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, name="sa4")
         l1_xyz, l1_points = sa1(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = sa2(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = sa3(l2_xyz, l2_points, train, keys[2])

@@ -141,6 +141,7 @@ class SceneDiffusionModel(nn.Module):
                 out_dim=cfg.pcd_dim,
                 sa_npoints=(N, max(N // 4, 4), max(N // 16, 2), max(N // 64, 1)),
                 sa_nsample=min(32, N),
+                fps_mode=cfg.fps_mode,
                 dtype=dtype,
                 name="pcd_backbone",
             )(objs_flat, train=train)  # (B*num_obj, N, pcd_dim)

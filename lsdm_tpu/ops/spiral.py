@@ -140,9 +140,12 @@ def extract_spirals(
                 from sklearn.neighbors import KDTree
 
                 kdt = KDTree(verts, metric="euclidean")
+            k = min(seq_length * dilation, nv)
             spiral = kdt.query(
-                verts[v : v + 1], k=seq_length * dilation, return_distance=False
+                verts[v : v + 1], k=k, return_distance=False
             )[0].tolist()
+            while len(spiral) < seq_length * dilation:  # mesh smaller than window
+                spiral.append(spiral[-1])
         spirals.append(spiral[: seq_length * dilation : dilation])
     return np.asarray(spirals, np.int32)
 
