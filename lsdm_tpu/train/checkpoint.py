@@ -36,6 +36,27 @@ def save(path: str, state: TrainState, extra: Optional[dict] = None):
             json.dump(extra, f)
 
 
+def save_orbax(directory: str, state: TrainState, step: int):
+    """Orbax-backed checkpointing for large-scale / multi-host training
+    (async, sharded-array aware).  The msgpack format above stays the
+    default for single-host parity workflows."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.abspath(os.path.join(directory, f"step_{step:08d}"))
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_orbax(directory: str, step: int, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    path = os.path.abspath(os.path.join(directory, f"step_{step:08d}"))
+    return ckptr.restore(path, template)
+
+
 def load(path: str, template: TrainState) -> Tuple[TrainState, dict]:
     with open(path, "rb") as f:
         state = serialization.from_bytes(template, f.read())
