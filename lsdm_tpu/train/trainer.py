@@ -41,9 +41,12 @@ def make_train_step(
     schedule,
     tx: optax.GradientTransformation,
     lambda_cat: float = 0.1,
+    ema_rate: float = 0.0,
 ):
     """Returns jitted ``step(state, batch_arrays, text_emb, key) ->
-    (state, metrics)``.  ``state`` is donated."""
+    (state, metrics)``.  ``state`` is donated.  ``ema_rate > 0`` maintains
+    an exponential moving average of the parameters (reference
+    ``update_ema``, ``diffusion/nn.py:56``)."""
 
     def step(state: TrainState, mask, objs, cats, target, target_cat, text_emb, key):
         B = target.shape[0]
@@ -76,11 +79,17 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
+        new_ema = state.ema_params
+        if ema_rate > 0 and state.ema_params is not None:
+            from lsdm_tpu.train.state import update_ema
+
+            new_ema = update_ema(state.ema_params, new_params, ema_rate)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
+            ema_params=new_ema,
         )
         metrics = {
             "loss": loss,
