@@ -34,6 +34,9 @@ def main():
                     help="host-loop steps to time (extrapolated)")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="denoiser compute dtype (params stay fp32)")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +47,8 @@ def main():
     from lsdm_tpu.diffusion import make_schedule, p_sample_loop
     from lsdm_tpu.diffusion.sampler import p_sample_step
     from lsdm_tpu.models.sdm import SceneDiffusionModel
+
+    import dataclasses
 
     if args.smoke:
         cfg = SDMConfig(
@@ -56,6 +61,7 @@ def main():
         cfg = cfg_lib.sdm_proxd()  # full-size: 1024 pts, latent 128
         T = args.steps
         baseline_steps = args.baseline_steps
+    cfg = dataclasses.replace(cfg, dtype=args.dtype)
 
     B, O, N = args.batch, cfg.max_objs, cfg.pcd_points
     key = jax.random.PRNGKey(0)
@@ -75,18 +81,22 @@ def main():
     def model_fn(x_t, tt):
         return model.apply(variables, x_t, mask, tt, objs, cats, text)
 
-    # ---- ours: one scanned loop
+    # ---- ours: one scanned loop.
+    # NOTE: timings force a host transfer of a reduced scalar;
+    # block_until_ready alone does not reliably block on tunneled
+    # transports (axon), which silently turns timings into dispatch
+    # latency measurements.
     @jax.jit
     def sample(key):
         s, _ = p_sample_loop(schedule, model_fn, (B, N, 3), key,
                              clip_denoised=False)
-        return s
+        return jnp.sum(s)
 
-    sample(jax.random.PRNGKey(1)).block_until_ready()  # compile
+    float(sample(jax.random.PRNGKey(1)))  # compile + execute
     best = float("inf")
     for r in range(args.repeats):
         t0 = time.perf_counter()
-        sample(jax.random.PRNGKey(2 + r)).block_until_ready()
+        float(sample(jax.random.PRNGKey(2 + r)))
         best = min(best, time.perf_counter() - t0)
     ours_steps_per_sec = T / best
 
@@ -98,14 +108,14 @@ def main():
         return s
 
     xb = jax.random.normal(jax.random.PRNGKey(9), (B, N, 3))
-    one_step(xb, jnp.full((B,), T - 1, jnp.int32),
-             jax.random.PRNGKey(0)).block_until_ready()  # compile
+    float(jnp.sum(one_step(xb, jnp.full((B,), T - 1, jnp.int32),
+                           jax.random.PRNGKey(0))))  # compile + execute
     t0 = time.perf_counter()
     cur = xb
     for i in range(baseline_steps):
         t_i = jnp.full((B,), max(T - 1 - i, 0), jnp.int32)
         cur = one_step(cur, t_i, jax.random.fold_in(jax.random.PRNGKey(1), i))
-        cur.block_until_ready()  # the reference syncs every step (host loop)
+        float(jnp.sum(cur))  # the reference syncs every step (host loop)
     baseline_time = time.perf_counter() - t0
     baseline_steps_per_sec = baseline_steps / baseline_time
 

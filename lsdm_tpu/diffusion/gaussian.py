@@ -177,6 +177,74 @@ def training_losses(
     return {"loss": mse + cat_loss, "mse": mse, "cat_loss": cat_loss}
 
 
+def condition_mean(
+    cond_fn: Callable,
+    mean: jax.Array,
+    variance: jax.Array,
+    x: jax.Array,
+    t: jax.Array,
+) -> jax.Array:
+    """Classifier-guidance mean shift (reference ``condition_mean``,
+    ``gaussian_diffusion.py:423-436``): mean + variance * grad(log p(y|x))."""
+    gradient = cond_fn(x, t)
+    return mean + variance * gradient.astype(jnp.float32)
+
+
+def condition_score(
+    cond_fn: Callable,
+    schedule: Schedule,
+    pred_xstart: jax.Array,
+    x: jax.Array,
+    t: jax.Array,
+) -> jax.Array:
+    """Classifier-guidance score conditioning for DDIM (reference
+    ``condition_score``, ``gaussian_diffusion.py:461-480``): shift the
+    implied epsilon by sqrt(1 - abar) * grad, re-derive x0."""
+    alpha_bar = extract(schedule.alphas_cumprod, t, x.ndim)
+    eps = predict_eps_from_xstart(schedule, x, t, pred_xstart)
+    eps = eps - jnp.sqrt(1 - alpha_bar) * cond_fn(x, t)
+    return predict_xstart_from_eps(schedule, x, t, eps)
+
+
+def calc_bpd_loop(
+    schedule: Schedule,
+    model_fn: DenoiseFn,
+    x_start: jax.Array,
+    key: jax.Array,
+    clip_denoised: bool = True,
+):
+    """Total variational bound in bits-per-dim over all timesteps
+    (reference ``calc_bpd_loop``, ``gaussian_diffusion.py:1527-1583``) as a
+    single scan.  Returns dict with total_bpd, prior_bpd, per-step vb/mse."""
+    B = x_start.shape[0]
+    T = schedule.num_timesteps
+
+    def body(carry, ti):
+        k = jax.random.fold_in(key, ti)
+        t = jnp.full((B,), ti, jnp.int32)
+        noise = jax.random.normal(k, x_start.shape)
+        x_t = q_sample(schedule, x_start, t, noise)
+        vb, pred_xstart = vb_terms_bpd(
+            schedule, model_fn, x_start, x_t, t, clip_denoised=clip_denoised
+        )
+        mse = jnp.mean((pred_xstart - x_start).reshape(B, -1) ** 2, axis=1)
+        return carry, (vb, mse)
+
+    _, (vb, mse) = jax.lax.scan(body, None, jnp.arange(T))
+    # prior: KL(q(x_T | x_0) || N(0, I))
+    t_last = jnp.full((B,), T - 1, jnp.int32)
+    mean, _, log_var = q_mean_variance(schedule, x_start, t_last)
+    prior = normal_kl(mean, log_var, jnp.zeros_like(mean), jnp.zeros_like(log_var))
+    prior_bpd = prior.reshape(B, -1).mean(axis=1) / jnp.log(2.0)
+    total_bpd = vb.sum(axis=0) + prior_bpd
+    return {
+        "total_bpd": total_bpd,
+        "prior_bpd": prior_bpd,
+        "vb": jnp.transpose(vb),  # (B, T)
+        "mse": jnp.transpose(mse),
+    }
+
+
 def normal_kl(mean1, logvar1, mean2, logvar2):
     """Gaussian KL (reference ``diffusion/losses.py:12-39``)."""
     return 0.5 * (

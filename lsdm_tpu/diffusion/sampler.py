@@ -44,12 +44,21 @@ def p_sample_step(
     key: jax.Array,
     clip_denoised: bool = True,
     const_noise: bool = False,
+    cond_fn=None,
 ) -> Tuple[jax.Array, jax.Array, DenoiserOutput]:
     """One ancestral DDPM step (reference ``p_sample``,
-    ``gaussian_diffusion.py:501-561``). Returns (sample, pred_xstart, out)."""
-    mean, _, log_variance, pred_xstart, model_out = p_mean_variance(
+    ``gaussian_diffusion.py:501-561``). Returns (sample, pred_xstart, out).
+
+    ``cond_fn(x, t) -> grad`` enables classifier guidance (reference
+    ``condition_mean`` hook, ``gaussian_diffusion.py:553-556``).
+    """
+    mean, variance, log_variance, pred_xstart, model_out = p_mean_variance(
         schedule, model_fn, x, t, clip_denoised=clip_denoised
     )
+    if cond_fn is not None:
+        from lsdm_tpu.diffusion.gaussian import condition_mean
+
+        mean = condition_mean(cond_fn, mean, variance, x, t)
     noise = jax.random.normal(key, x.shape, dtype=x.dtype)
     if const_noise:
         noise = jnp.broadcast_to(noise[:1], noise.shape)

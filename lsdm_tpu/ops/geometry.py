@@ -86,6 +86,57 @@ def read_sdf(
     return jax.vmap(sample_one)(coords)
 
 
+def load_scene_data(
+    name: str,
+    sdf_dir: str,
+    use_semantics: bool = False,
+    no_obj_classes: int = 42,
+) -> dict:
+    """Load a scene SDF grid + optional semantics (reference
+    ``load_scene_data``, ``posa/data_utils.py:216-251``), including the
+    label remaps (34 -> 10 seating->sofa, 25 -> 28 shower->lighting)."""
+    import json
+    import os.path as osp
+
+    from lsdm_tpu.ops.rotations import euler_to_matrix
+
+    with open(osp.join(sdf_dir, name + ".json")) as f:
+        meta = json.load(f)
+    grid_dim = meta["dim"]
+    grid_min = np.asarray(meta["min"], np.float32)
+    grid_max = np.asarray(meta["max"], np.float32)
+    sdf = np.load(osp.join(sdf_dir, name + "_sdf.npy")).astype(np.float32)
+    sdf = sdf.reshape(grid_dim, grid_dim, grid_dim)
+
+    out = {
+        "R": np.asarray(
+            euler_to_matrix(jnp.asarray(np.pi / 2), jnp.asarray(0.0),
+                            jnp.asarray(0.0))
+        ),
+        "t": np.zeros((1, 3), np.float32),
+        "grid_dim": grid_dim,
+        "grid_min": grid_min,
+        "grid_max": grid_max,
+        "voxel_size": (grid_max - grid_min) / grid_dim,
+        "bbox": np.asarray(meta.get("bbox", []), np.float32),
+        "badding_val": meta.get("badding_val"),
+        "sdf": sdf,
+        "semantics": None,
+        "scene_semantics": None,
+    }
+    if use_semantics:
+        sem = np.load(osp.join(sdf_dir, name + "_semantics.npy")).astype(np.float32)
+        sem = sem.reshape(grid_dim, grid_dim, grid_dim)
+        sem[sem == 34] = 10  # seating -> sofa (N0SittingBooth)
+        sem[sem == 25] = 28  # mislabeled shower -> lighting
+        present = np.unique(sem).astype(int)
+        onehot = np.zeros((1, no_obj_classes), np.float32)
+        onehot[0, present[present < no_obj_classes]] = 1
+        out["semantics"] = sem
+        out["scene_semantics"] = onehot
+    return out
+
+
 def oriented_bbox(points: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """PCA oriented bounding box: (center (3,), rotation (3, 3), extent (3,)).
 
