@@ -81,15 +81,18 @@ def main():
     def model_fn(x_t, tt):
         return model.apply(variables, x_t, mask, tt, objs, cats, text)
 
-    # ---- ours: one scanned loop.
+    # ---- ours: conditioning encoded once + one scanned loop (the
+    # production sampling path, lsdm_tpu.models.sampling.sample_sdm).
     # NOTE: timings force a host transfer of a reduced scalar;
     # block_until_ready alone does not reliably block on tunneled
     # transports (axon), which silently turns timings into dispatch
     # latency measurements.
+    from lsdm_tpu.models.sampling import sample_sdm
+
     @jax.jit
     def sample(key):
-        s, _ = p_sample_loop(schedule, model_fn, (B, N, 3), key,
-                             clip_denoised=False)
+        s, _ = sample_sdm(model, variables, schedule, mask, objs, cats, text,
+                          key, clip_denoised=False)
         return jnp.sum(s)
 
     float(sample(jax.random.PRNGKey(1)))  # compile + execute

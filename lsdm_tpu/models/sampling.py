@@ -1,0 +1,49 @@
+"""Fast SDM sampling: conditioning encoded once, scanned denoising tail.
+
+The reference's sampler calls the FULL model (backbones + attentions) at
+every one of its 1000 steps (``gaussian_diffusion.py:736-759``) even though
+only the timestep embedding and the in/out MLPs depend on (x_t, t).  This
+helper runs :meth:`SceneDiffusionModel.encode_conditioning` once per sample
+and scans :meth:`denoise_from_cond` — mathematically identical output,
+~100x less work per step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lsdm_tpu.diffusion.sampler import ddim_sample_loop, p_sample_loop
+from lsdm_tpu.models.sdm import SceneDiffusionModel
+
+
+def sample_sdm(
+    model: SceneDiffusionModel,
+    variables,
+    schedule,
+    mask: jax.Array,
+    given_objs: jax.Array,
+    given_cats: jax.Array,
+    text_emb: jax.Array,
+    key: jax.Array,
+    clip_denoised: bool = False,
+    use_ddim: bool = False,
+    timestep_map: Optional[jax.Array] = None,
+):
+    """Returns (sample (B, N, 3), last DenoiserOutput).  Jit-safe."""
+    B = given_objs.shape[0]
+    N = given_objs.shape[2]
+    cond = model.apply(
+        variables, mask, given_objs, given_cats, text_emb,
+        method=model.encode_conditioning,
+    )
+
+    def model_fn(x_t, tt):
+        t_model = timestep_map[tt] if timestep_map is not None else tt
+        return model.apply(variables, cond, x_t, t_model,
+                           method=model.denoise_from_cond)
+
+    loop = ddim_sample_loop if use_ddim else p_sample_loop
+    return loop(schedule, model_fn, (B, N, 3), key, clip_denoised=clip_denoised)

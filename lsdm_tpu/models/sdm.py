@@ -6,13 +6,19 @@ from the reference are *interface* only, never math:
   * Text encoding happens outside the jitted denoiser: ``__call__`` takes a
     precomputed ``text_emb`` (B, clip_dim) instead of raw strings (the
     reference runs a frozen fp16 CLIP inside forward, ``model/sdm.py:147``;
-    frozen encoder => identical conditioning, and the text tower lives in
-    :mod:`lsdm_tpu.models.text` where it can be jitted separately or cached
-    per-dataset).
+    frozen encoder => identical conditioning).
   * The category prediction and guiding points are *returned* (as a
     :class:`~lsdm_tpu.diffusion.gaussian.DenoiserOutput`) instead of stashed
-    on ``self`` (``model/sdm.py:158,217``) — functional style required under
-    jit.
+    on ``self`` (``model/sdm.py:158,217``) — functional style under jit.
+  * The forward factors into :meth:`encode_conditioning` (everything that
+    depends only on (mask, objects, categories, text) — both backbones,
+    both attentions, the translation branch) and :meth:`denoise_from_cond`
+    (the only t/x_t-dependent part: timestep embedding, the upsampling MLP
+    and the input/output processes).  During sampling the conditioning is
+    computed ONCE and reused across all 1000 steps — the reference
+    recomputes the full stack every step (``gaussian_diffusion.py:736``).
+    ``__call__`` composes the two, so training and checkpoints see the
+    exact reference graph.
 
 Reference quirks replicated on purpose (they affect trained numerics):
 
@@ -29,7 +35,7 @@ Reference quirks replicated on purpose (they affect trained numerics):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +50,14 @@ from lsdm_tpu.models.posa import POSADecoderBackbone
 from lsdm_tpu.ops.attention import TorchMultiheadAttention
 
 
+class CondCache(NamedTuple):
+    """Conditioning features that are constant across sampler steps."""
+
+    enc_text: jax.Array  # (B, 1, D)
+    out_cat: jax.Array  # (B, 1, max_cats) softmax probs
+    cond_pcd: jax.Array  # (B, N, 3) — (sum of weighted obj features + human)/2
+
+
 class SceneDiffusionModel(nn.Module):
     cfg: SDMConfig
     # Optional NamedSharding for the flattened (B*max_objs, N, 3) cloud axis:
@@ -52,168 +66,180 @@ class SceneDiffusionModel(nn.Module):
     # lsdm_tpu.parallel.mesh.obj_sharding).
     obj_sharding: Optional[object] = None
 
-    @nn.compact
-    def __call__(
-        self,
-        x: jax.Array,  # (B, N, 3) noisy target points
-        mask: jax.Array,  # (B, max_objs) float 0/1, slot 0 = human (stays 0)
-        timesteps: jax.Array,  # (B,) int
-        given_objs: jax.Array,  # (B, max_objs, N, 3), slot 0 = human
-        given_cats: jax.Array,  # (B, max_objs, max_cats) one-hot
-        text_emb: jax.Array,  # (B, clip_dim) frozen text features
-        train: bool = False,
-    ) -> DenoiserOutput:
+    def setup(self):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
-        B, num_obj, num_points, xyz = given_objs.shape
         D = cfg.latent_dim
-
-        # 1) timestep embedding (reference :141-142)
-        emb_ts = TimestepEmbedder(D, dtype=dtype, name="embed_timestep")(timesteps)
-
-        # 2) text embedding MLP (reference :52-59,145-154)
-        enc_text = MLP(
-            (cfg.clip_dim // 2, D * 2, D),
-            ("gelu", "gelu", "gelu"),
-            dtype=dtype,
-            name="embed_text",
-        )(text_emb.astype(jnp.float32))
-        enc_text = enc_text[:, None, :]  # (B, 1, D)
-
-        # 3) category head on detached text features (reference :68-76,157)
-        out_cat = MLP(
-            (D // 2, D // 4, cfg.max_cats),
-            ("gelu", "gelu", "gelu"),
-            dtype=dtype,
-            name="predict_cat",
-        )(jax.lax.stop_gradient(enc_text))
-        out_cat = jax.nn.softmax(out_cat.astype(jnp.float32), axis=2)
-
-        # 4) category embedding (reference :62-65,161)
-        emb_cat = MLP((cfg.cat_emb,), ("gelu",), dtype=dtype, name="embed_cat")(
-            given_cats
-        )  # (B, num_obj, cat_emb)
-
-        # 5) fuse time+text, upsample channel 1 -> num_points (reference :164-167)
-        emb = jnp.concatenate([emb_ts, enc_text], axis=-1)  # (B, 1, 2D)
-        emb = jnp.transpose(emb, (0, 2, 1))  # (B, 2D, 1)
-        emb = MLP(
-            (128, 512, cfg.pcd_points),
-            ("gelu", "gelu", "gelu"),
-            dtype=dtype,
-            name="upsampling_layer",
-        )(emb)  # (B, 2D, num_points)
-        emb = jnp.transpose(emb, (0, 2, 1))  # (B, num_points, 2D)
-
-        # 6) backbones (reference :173-177; selection :96-104)
-        hm_in = jax.lax.stop_gradient(given_objs[:, 0])
+        self.embed_timestep = TimestepEmbedder(D, dtype=dtype)
+        self.embed_text = MLP(
+            (cfg.clip_dim // 2, D * 2, D), ("gelu", "gelu", "gelu"), dtype=dtype
+        )
+        self.predict_cat = MLP(
+            (D // 2, D // 4, cfg.max_cats), ("gelu", "gelu", "gelu"), dtype=dtype
+        )
+        self.embed_cat = MLP((cfg.cat_emb,), ("gelu",), dtype=dtype)
+        self.upsampling_layer = MLP(
+            (128, 512, cfg.pcd_points), ("gelu", "gelu", "gelu"), dtype=dtype
+        )
+        self.attn_layer = TorchMultiheadAttention(
+            embed_dim=D, num_heads=cfg.n_head, kdim=cfg.cat_emb,
+            vdim=cfg.pcd_points * cfg.pcd_dim, dtype=dtype,
+        )
+        self.translation_layer = MLP(
+            (D, cfg.translation_params), ("gelu", "gelu"), dtype=dtype
+        )
+        self.point_wise_trans_layer = MLP((cfg.xyz_dim,), ("gelu",), dtype=dtype)
+        self.pcd_attention = TorchMultiheadAttention(
+            embed_dim=cfg.translation_params, num_heads=cfg.translation_params,
+            kdim=cfg.xyz_dim, vdim=cfg.xyz_dim, dtype=dtype,
+        )
         if cfg.human_backbone_type == "P2R":
             from lsdm_tpu.models.stgcn import STGCN
 
-            hm_out = STGCN(
+            self.human_backbone = STGCN(
                 joint_num=cfg.pcd_points,
                 out_channels=cfg.pcd_points * cfg.xyz_dim,
                 dtype=dtype,
-                name="human_backbone",
-            )(hm_in, train=train)
+            )
         else:
-            hm_out = POSADecoderBackbone(
-                vert_dims=cfg.vert_dims,
-                pcd_points=cfg.pcd_points,
-                dtype=dtype,
-                name="human_backbone",
-            )(hm_in)  # (B, N, 3)
-        objs_flat = given_objs.reshape(B * num_obj, num_points, xyz)
-        if self.obj_sharding is not None:
-            objs_flat = jax.lax.with_sharding_constraint(objs_flat, self.obj_sharding)
+            self.human_backbone = POSADecoderBackbone(
+                vert_dims=cfg.vert_dims, pcd_points=cfg.pcd_points, dtype=dtype
+            )
         N = cfg.pcd_points
         if cfg.pcd_backbone_type == "DGCNN":
             from lsdm_tpu.models.dgcnn import DGCNN
 
-            pcd_out = DGCNN(
+            self.pcd_backbone = DGCNN(
                 emb_dims=cfg.clip_dim,
                 output_channels=cfg.pcd_points * cfg.xyz_dim,
                 dtype=dtype,
-                name="pcd_backbone",
-            )(objs_flat, train=train)
+            )
         else:
-            pcd_out = PointNet2Backbone(
+            self.pcd_backbone = PointNet2Backbone(
                 out_dim=cfg.pcd_dim,
                 sa_npoints=(N, max(N // 4, 4), max(N // 16, 2), max(N // 64, 1)),
                 sa_nsample=min(32, N),
                 fps_mode=cfg.fps_mode,
                 dtype=dtype,
-                name="pcd_backbone",
-            )(objs_flat, train=train)  # (B*num_obj, N, pcd_dim)
+            )
+        self.combine_extraction = MLP((D,), ("gelu",), dtype=dtype)
+        self.input_process = InputProcess(cfg.xyz_dim, D, dtype=dtype)
+        self.output_process = OutputProcess(
+            cfg.xyz_dim, D, cfg.pcd_points, dtype=dtype
+        )
+
+    # ------------------------------------------------------------------
+    def encode_conditioning(
+        self,
+        mask: jax.Array,  # (B, max_objs) float 0/1, slot 0 = human (stays 0)
+        given_objs: jax.Array,  # (B, max_objs, N, 3), slot 0 = human
+        given_cats: jax.Array,  # (B, max_objs, max_cats) one-hot
+        text_emb: jax.Array,  # (B, clip_dim) frozen text features
+        train: bool = False,
+    ) -> CondCache:
+        """Everything independent of (x_t, t): reference ``model/sdm.py``
+        steps :145-161 (text/cat embeddings, category head) and
+        :169-204 (backbones, both attentions, translation branch)."""
+        cfg = self.cfg
+        B, num_obj, num_points, xyz = given_objs.shape
+        D = cfg.latent_dim
+
+        # text embedding MLP (reference :52-59,145-154)
+        enc_text = self.embed_text(text_emb.astype(jnp.float32))[:, None, :]
+
+        # category head on detached text features (reference :68-76,157)
+        out_cat = self.predict_cat(jax.lax.stop_gradient(enc_text))
+        out_cat = jax.nn.softmax(out_cat.astype(jnp.float32), axis=2)
+
+        # category embedding (reference :62-65,161)
+        emb_cat = self.embed_cat(given_cats)  # (B, num_obj, cat_emb)
+
+        # backbones (reference :173-177)
+        hm_in = jax.lax.stop_gradient(given_objs[:, 0])
+        if cfg.human_backbone_type == "P2R":
+            hm_out = self.human_backbone(hm_in, train=train)
+        else:
+            hm_out = self.human_backbone(hm_in)  # (B, N, 3)
+        objs_flat = given_objs.reshape(B * num_obj, num_points, xyz)
+        if self.obj_sharding is not None:
+            objs_flat = jax.lax.with_sharding_constraint(objs_flat, self.obj_sharding)
+        pcd_out = self.pcd_backbone(objs_flat, train=train)
         pcd_out = pcd_out.reshape(B, num_obj, num_points * cfg.pcd_dim)
 
-        # 7) text x cat x pcd cross attention (reference :79,180-182)
+        # text x cat x pcd cross attention (reference :79,180-182)
         attn_mask = jax.lax.stop_gradient(mask[:, None, :].astype(jnp.float32))
         attn_mask = jnp.tile(attn_mask, (cfg.n_head, 1, 1))  # (B*H, 1, num_obj)
-        _, attn_w = TorchMultiheadAttention(
-            embed_dim=D,
-            num_heads=cfg.n_head,
-            kdim=cfg.cat_emb,
-            vdim=cfg.pcd_points * cfg.pcd_dim,
-            dtype=dtype,
-            name="attn_layer",
-        )(enc_text, emb_cat, pcd_out, attn_mask=attn_mask)
-        # attn_w: (B, 1, num_obj) head-averaged weights
+        _, attn_w = self.attn_layer(enc_text, emb_cat, pcd_out, attn_mask=attn_mask)
 
-        # 8) translation branch (reference :82-91,185-188)
+        # translation branch (reference :82-91,185-188)
         enc_text_rep = jnp.broadcast_to(enc_text, (B, num_obj, D))
         emb_cat2 = jnp.concatenate([emb_cat, enc_text_rep], axis=-1)
-        translation = MLP(
-            (D, cfg.translation_params),
-            ("gelu", "gelu"),
-            dtype=dtype,
-            name="translation_layer",
-        )(emb_cat2)  # (B, num_obj, T)
+        translation = self.translation_layer(emb_cat2)  # (B, num_obj, T)
         translation = jnp.broadcast_to(
-            translation[:, :, None, :], (B, num_obj, cfg.pcd_points, cfg.translation_params)
+            translation[:, :, None, :],
+            (B, num_obj, cfg.pcd_points, cfg.translation_params),
         ).reshape(B * num_obj, cfg.pcd_points, cfg.translation_params)
 
-        # 9) attention-weighted features with the reference's exotic reshapes
+        # attention-weighted features with the reference's exotic reshapes
         # (reference :191-203).  torch .reshape on a permuted tensor ==
         # row-major reshape of the transposed array.
         pcd_out = jnp.transpose(pcd_out, (0, 2, 1))  # (B, N*pcd_dim, num_obj)
-        pcd_out = pcd_out * attn_w.astype(pcd_out.dtype)  # broadcast (B, 1, num_obj)
+        pcd_out = pcd_out * attn_w.astype(pcd_out.dtype)
         pcd_out = pcd_out.reshape(B, num_obj, num_points, cfg.pcd_dim)  # scramble!
         pcd_trans = pcd_out.reshape(B * num_obj, cfg.pcd_points, cfg.xyz_dim)
-        pcd_trans, _ = TorchMultiheadAttention(
-            embed_dim=cfg.translation_params,
-            num_heads=cfg.translation_params,
-            kdim=cfg.xyz_dim,
-            vdim=cfg.xyz_dim,
-            dtype=dtype,
-            name="pcd_attention",
-        )(translation, pcd_trans, pcd_trans)
+        pcd_trans, _ = self.pcd_attention(translation, pcd_trans, pcd_trans)
         pcd_trans = pcd_trans.reshape(B, num_obj, num_points, cfg.translation_params)
         pcd_out = jnp.concatenate([pcd_out, pcd_trans], axis=-1)
-        pcd_out = MLP(
-            (cfg.xyz_dim,), ("gelu",), dtype=dtype, name="point_wise_trans_layer"
-        )(pcd_out)  # (B, num_obj, N, 3)
+        pcd_out = self.point_wise_trans_layer(pcd_out)  # (B, num_obj, N, 3)
         pcd_out = pcd_out.reshape(num_points, -1, B, num_obj)  # scramble (:199)
-        pcd_out = pcd_out * mask.astype(pcd_out.dtype)  # broadcast over (B, num_obj)
+        pcd_out = pcd_out * mask.astype(pcd_out.dtype)
         pcd_out = pcd_out.reshape(B, num_obj, num_points, -1)
         pcd_out = pcd_out.sum(axis=1)  # (B, N, 3)
-        pcd_out = (pcd_out + hm_out) / 2
-        x = x + pcd_out  # (reference :204)
+        cond_pcd = (pcd_out + hm_out) / 2  # (reference :203)
 
-        # 10) final conditioning embedding (reference :117-122,208)
-        emb = MLP((cfg.latent_dim,), ("gelu",), dtype=dtype, name="combine_extraction")(
-            emb
-        )  # (B, N, D)
+        return CondCache(enc_text=enc_text, out_cat=out_cat, cond_pcd=cond_pcd)
 
-        # 11) in/out process for the denoised cloud and guiding points
-        # (reference :211-217)
-        input_process = InputProcess(cfg.xyz_dim, D, dtype=dtype, name="input_process")
-        output_process = OutputProcess(
-            cfg.xyz_dim, D, cfg.pcd_points, dtype=dtype, name="output_process"
-        )
-        x = output_process(input_process(x, emb))
-        guiding = output_process(input_process(pcd_out, emb))
+    # ------------------------------------------------------------------
+    def denoise_from_cond(
+        self,
+        cond: CondCache,
+        x: jax.Array,  # (B, N, 3) noisy target points
+        timesteps: jax.Array,  # (B,) int
+    ) -> DenoiserOutput:
+        """The t/x_t-dependent tail: reference :141-142 (timestep emb),
+        :164-167 (upsampling fuse), :204-217 (x += cond; in/out process;
+        guiding points)."""
+        cfg = self.cfg
+        B = x.shape[0]
+
+        emb_ts = self.embed_timestep(timesteps)  # (B, 1, D)
+        emb = jnp.concatenate([emb_ts, cond.enc_text], axis=-1)  # (B, 1, 2D)
+        emb = jnp.transpose(emb, (0, 2, 1))  # (B, 2D, 1)
+        emb = self.upsampling_layer(emb)  # (B, 2D, N)
+        emb = jnp.transpose(emb, (0, 2, 1))  # (B, N, 2D)
+        emb = self.combine_extraction(emb)  # (B, N, D)
+
+        x = x + cond.cond_pcd  # (reference :204)
+        x = self.output_process(self.input_process(x, emb))
+        guiding = self.output_process(self.input_process(cond.cond_pcd, emb))
 
         return DenoiserOutput(
-            x0=x.astype(jnp.float32), cat=out_cat, guiding=guiding.astype(jnp.float32)
+            x0=x.astype(jnp.float32),
+            cat=cond.out_cat,
+            guiding=guiding.astype(jnp.float32),
         )
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: jax.Array,
+        timesteps: jax.Array,
+        given_objs: jax.Array,
+        given_cats: jax.Array,
+        text_emb: jax.Array,
+        train: bool = False,
+    ) -> DenoiserOutput:
+        cond = self.encode_conditioning(mask, given_objs, given_cats, text_emb,
+                                        train=train)
+        return self.denoise_from_cond(cond, x, timesteps)

@@ -59,16 +59,14 @@ def main():
     if args.load_model:
         state, _ = ckpt_lib.load(args.load_model, state)
 
+    from lsdm_tpu.models.sampling import sample_sdm
+
     @jax.jit
     def sample(params, batch_stats, mask, objs, cats, text_emb, key):
-        B, N = objs.shape[0], objs.shape[2]
-
-        def model_fn(x_t, tt):
-            return model.apply({"params": params, "batch_stats": batch_stats},
-                               x_t, mask, tt, objs, cats, text_emb, False)
-
-        return p_sample_loop(schedule, model_fn, (B, N, 3), key,
-                             clip_denoised=False)
+        return sample_sdm(
+            model, {"params": params, "batch_stats": batch_stats}, schedule,
+            mask, objs, cats, text_emb, key, clip_denoised=False,
+        )
 
     os.makedirs(os.path.join(args.output_dir, "predictions"), exist_ok=True)
     key = jax.random.PRNGKey(args.seed)

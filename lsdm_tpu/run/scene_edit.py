@@ -144,14 +144,14 @@ def main():
 
     from functools import partial
 
+    from lsdm_tpu.models.sampling import sample_sdm
+
     @partial(jax.jit, static_argnames=("shape1",))
     def sample_fn(params, batch_stats, mask, objs, cats, text_emb, key, shape1):
-        def model_fn(x_t, tt):
-            return model.apply({"params": params, "batch_stats": batch_stats},
-                               x_t, mask, tt, objs, cats, text_emb, False)
-
-        return p_sample_loop(schedule, model_fn, (1, shape1, 3), key,
-                             clip_denoised=False)
+        return sample_sdm(
+            model, {"params": params, "batch_stats": batch_stats}, schedule,
+            mask, objs, cats, text_emb, key, clip_denoised=False,
+        )
 
     os.makedirs(args.output_dir, exist_ok=True)
     for sub in ("predictions", "guiding_points"):

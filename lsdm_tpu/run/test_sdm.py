@@ -100,21 +100,15 @@ def main():
             state, extra = ckpt_lib.load(args.load_model, state)
             print(f"loaded {args.load_model}: {extra}")
 
-    sample_loop = ddim_sample_loop if args.use_ddim else p_sample_loop
+    from lsdm_tpu.models.sampling import sample_sdm
 
     @jax.jit
     def eval_batch(params, batch_stats, mask, objs, cats, text_emb, key):
-        B, N = objs.shape[0], objs.shape[2]
-
-        def model_fn(x_t, tt):
-            t_model = schedule.timestep_map[tt] if args.timestep_respacing else tt
-            return model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                x_t, mask, t_model, objs, cats, text_emb, False,
-            )
-
-        sample, last = sample_loop(
-            schedule, model_fn, (B, N, 3), key, clip_denoised=False
+        sample, last = sample_sdm(
+            model, {"params": params, "batch_stats": batch_stats}, schedule,
+            mask, objs, cats, text_emb, key,
+            clip_denoised=False, use_ddim=args.use_ddim,
+            timestep_map=schedule.timestep_map if args.timestep_respacing else None,
         )
         return sample, last.cat, last.guiding
 

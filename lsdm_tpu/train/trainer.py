@@ -109,16 +109,13 @@ def make_eval_step(model: SceneDiffusionModel, schedule, clip_denoised: bool = F
     test (``run/test_sdm.py:146-208``) protocol."""
 
     def eval_step(state: TrainState, mask, objs, cats, target, text_emb, key):
-        B, N = target.shape[0], target.shape[1]
+        from lsdm_tpu.models.sampling import sample_sdm
 
-        def model_fn(x_t, tt):
-            return model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                x_t, mask, tt, objs, cats, text_emb, False,
-            )
-
-        sample, last_out = p_sample_loop(
-            schedule, model_fn, (B, N, 3), key, clip_denoised=clip_denoised
+        sample, last_out = sample_sdm(
+            model,
+            {"params": state.params, "batch_stats": state.batch_stats},
+            schedule, mask, objs, cats, text_emb, key,
+            clip_denoised=clip_denoised,
         )
         cfd = chamfer_distance(sample, target)
         return sample, cfd, last_out.cat, last_out.guiding

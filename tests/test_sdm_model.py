@@ -122,3 +122,42 @@ def test_batchnorm_stats_update_in_train_mode(model_and_params):
         not np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(before, after)
     )
     assert changed
+
+
+def test_split_conditioning_equals_full(model_and_params):
+    """encode_conditioning + denoise_from_cond == __call__ exactly (the fast
+    sampling path reuses conditioning across steps)."""
+    model, variables = model_and_params
+    x, mask, t, objs, cats, text = make_inputs(jax.random.PRNGKey(20))
+    full = model.apply(variables, x, mask, t, objs, cats, text)
+    cond = model.apply(variables, mask, objs, cats, text,
+                       method=model.encode_conditioning)
+    split = model.apply(variables, cond, x, t, method=model.denoise_from_cond)
+    np.testing.assert_array_equal(np.asarray(full.x0), np.asarray(split.x0))
+    np.testing.assert_array_equal(np.asarray(full.cat), np.asarray(split.cat))
+    np.testing.assert_array_equal(np.asarray(full.guiding),
+                                  np.asarray(split.guiding))
+
+
+def test_sample_sdm_matches_naive_sampler(model_and_params):
+    """The fast sampler (cond once + scanned tail) equals scanning the full
+    model bit-for-bit (same key)."""
+    from lsdm_tpu.models.sampling import sample_sdm
+
+    model, variables = model_and_params
+    sched = make_schedule("cosine", 4)
+    x, mask, t, objs, cats, text = make_inputs(jax.random.PRNGKey(21))
+
+    def model_fn(x_t, tt):
+        return model.apply(variables, x_t, mask, tt, objs, cats, text)
+
+    naive, naive_last = jax.jit(
+        lambda k: p_sample_loop(sched, model_fn, (B, N, 3), k, clip_denoised=False)
+    )(jax.random.PRNGKey(22))
+    fast, fast_last = jax.jit(
+        lambda k: sample_sdm(model, variables, sched, mask, objs, cats, text, k,
+                             clip_denoised=False)
+    )(jax.random.PRNGKey(22))
+    np.testing.assert_allclose(np.asarray(naive), np.asarray(fast), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(naive_last.cat),
+                               np.asarray(fast_last.cat), atol=1e-6)
