@@ -102,6 +102,8 @@ class TrainConfig:
     epochs: int = 1000
     eval_every: int = 50  # validate + checkpoint cadence
     schedule_sampler: str = "uniform"  # "uniform" | "loss-second-moment"
+    ema_rate: float = 0.0  # parameter EMA (0 = off)
+    lr_anneal_steps: int = 0  # linear LR anneal horizon (0 = constant)
     seed: int = 0
     bf16_compute: bool = True
     # Mesh axes: data-parallel x model-parallel. (1, 1) = single chip.

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--text_encoder", default="HASH", choices=["CLIP", "HASH"])
     ap.add_argument("--bpe_path", default=None)
     ap.add_argument("--load_ckpt", default=None)
+    ap.add_argument("--ema_rate", type=float, default=0.0,
+                    help="parameter EMA rate (0 = off)")
+    ap.add_argument("--lr_anneal_steps", type=int, default=0,
+                    help="linear LR anneal horizon (0 = constant)")
     ap.add_argument("--diffusion_steps", type=int, default=1000)
     ap.add_argument("--noise_schedule", default="cosine")
     ap.add_argument(
@@ -63,6 +67,8 @@ def main():
         epochs=args.epochs,
         eval_every=args.eval_every,
         seed=args.seed,
+        ema_rate=args.ema_rate,
+        lr_anneal_steps=args.lr_anneal_steps,
     )
 
     ds_cls = ProxDatasetTxt if args.datatype == "proxd" else Humanise

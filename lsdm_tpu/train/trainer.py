@@ -146,7 +146,10 @@ class Trainer:
         obj_shard = mesh_lib.obj_sharding(mesh) if mesh is not None else None
         self.model = SceneDiffusionModel(model_cfg, obj_sharding=obj_shard)
         self.schedule = make_schedule(diff_cfg.noise_schedule, diff_cfg.steps)
-        self.tx = make_optimizer(train_cfg.lr, train_cfg.weight_decay)
+        self.tx = make_optimizer(
+            train_cfg.lr, train_cfg.weight_decay,
+            getattr(train_cfg, "lr_anneal_steps", 0),
+        )
         if text_encoder is None:
             from lsdm_tpu.models.text import TextEncoder
 
@@ -154,7 +157,8 @@ class Trainer:
         self.text_encoder = text_encoder
         self.logger = KVLogger(os.path.join(save_dir, "logs"))
         self._train_step = make_train_step(
-            self.model, self.schedule, self.tx, diff_cfg.lambda_cat
+            self.model, self.schedule, self.tx, diff_cfg.lambda_cat,
+            ema_rate=getattr(train_cfg, "ema_rate", 0.0),
         )
         self._eval_step = make_eval_step(self.model, self.schedule)
         self.state: Optional[TrainState] = None
@@ -171,7 +175,9 @@ class Trainer:
             jnp.asarray(b.given_cats),
             jnp.asarray(text_emb),
         )
-        self.state = create_train_state(variables, self.tx)
+        self.state = create_train_state(
+            variables, self.tx, ema=getattr(self.train_cfg, "ema_rate", 0.0) > 0
+        )
         return self.state
 
     def _device_batch(self, b: Batch):
