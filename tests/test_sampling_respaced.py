@@ -1,0 +1,40 @@
+"""Respaced (DDIM-style) sampling through the fast SDM path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsdm_tpu.config import SDMConfig
+from lsdm_tpu.diffusion import spaced_schedule
+from lsdm_tpu.models.sampling import sample_sdm
+from lsdm_tpu.models.sdm import SceneDiffusionModel
+
+TINY = SDMConfig(clip_dim=32, latent_dim=16, cat_emb=8, n_head=4, vert_dims=24,
+                 pcd_points=32)
+B, O, N = 1, 9, 32
+
+
+def test_sample_sdm_with_respacing():
+    """ddim-respaced schedule + timestep_map conditioning: 5 steps standing
+    in for a 20-step process, model sees original-scale timesteps."""
+    model = SceneDiffusionModel(TINY)
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    mask = jnp.zeros((B, O)).at[:, 1:3].set(1.0)
+    objs = jax.random.normal(ks[1], (B, O, N, 3))
+    cats = jax.nn.one_hot(jnp.zeros((B, O), jnp.int32), 13)
+    text = jax.random.normal(ks[3], (B, TINY.clip_dim))
+    x = jax.random.normal(ks[0], (B, N, 3))
+    variables = model.init(ks[4], x, mask, jnp.zeros((B,), jnp.int32), objs,
+                           cats, text)
+
+    sched = spaced_schedule("cosine", 20, "ddim5")
+    assert sched.num_timesteps == 5
+    assert int(sched.timestep_map.max()) >= 15  # maps into the original scale
+
+    sample, last = sample_sdm(
+        model, variables, sched, mask, objs, cats, text, jax.random.PRNGKey(7),
+        clip_denoised=False, use_ddim=True, timestep_map=sched.timestep_map,
+    )
+    assert sample.shape == (B, N, 3)
+    assert np.isfinite(np.asarray(sample)).all()
+    assert last.cat.shape == (B, 1, 13)
