@@ -32,7 +32,7 @@ def main():
 
     from lsdm_tpu import config as cfg_lib
     from lsdm_tpu.data.dataset import DataLoader, Humanise, ProxDatasetTxt
-    from lsdm_tpu.diffusion import make_schedule, p_sample_loop
+    from lsdm_tpu.diffusion import make_schedule
     from lsdm_tpu.models.sdm import SceneDiffusionModel
     from lsdm_tpu.models.text import TextEncoder
     from lsdm_tpu.train import checkpoint as ckpt_lib

@@ -47,7 +47,6 @@ def main():
     from lsdm_tpu.models.text import TextEncoder
     from lsdm_tpu.ops.metrics import emd as emd_fn, fscore, topk_accuracy
     from lsdm_tpu.ops.pointcloud import chamfer_distance
-    from lsdm_tpu.diffusion.sampler import ddim_sample_loop, p_sample_loop
     from lsdm_tpu.train import checkpoint as ckpt_lib
     from lsdm_tpu.train.state import TrainState, create_train_state, make_optimizer
 

@@ -26,7 +26,7 @@ import optax
 
 from lsdm_tpu.config import DiffusionConfig, SDMConfig, TrainConfig
 from lsdm_tpu.data.dataset import Batch, DataLoader
-from lsdm_tpu.diffusion import make_schedule, p_sample_loop, training_losses
+from lsdm_tpu.diffusion import make_schedule, training_losses
 from lsdm_tpu.models.sdm import SceneDiffusionModel
 from lsdm_tpu.ops.metrics import topk_accuracy
 from lsdm_tpu.ops.pointcloud import chamfer_distance
