@@ -17,3 +17,14 @@ from lsdm_tpu.ops.pointcloud import (
     three_nn_interpolate,
 )
 from lsdm_tpu.ops.embeddings import timestep_embedding, positional_encoding_table
+from lsdm_tpu.ops.chamfer_pallas import chamfer_distance_pallas
+from lsdm_tpu.ops.icp import icp, random_restart_icp, transform_points
+from lsdm_tpu.ops.geometry import (
+    normalize_orientation,
+    read_sdf,
+    oriented_bbox,
+    translate_objs_to_bbox,
+    translate_bbox_obj,
+    estimate_floor_height,
+    load_scene_data,
+)
