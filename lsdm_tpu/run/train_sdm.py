@@ -35,6 +35,8 @@ def main():
                     help="linear LR anneal horizon (0 = constant)")
     ap.add_argument("--diffusion_steps", type=int, default=1000)
     ap.add_argument("--noise_schedule", default="cosine")
+    ap.add_argument("--pcd_points", type=int, default=None,
+                    help="override cloud size (e.g. tiny smoke runs)")
     ap.add_argument(
         "--platform", default=None,
         help="force a jax platform (e.g. cpu); the ambient axon TPU backend "
@@ -58,6 +60,13 @@ def main():
     model_cfg = (
         cfg_lib.sdm_proxd() if args.datatype == "proxd" else cfg_lib.sdm_humanise()
     )
+    if args.pcd_points:
+        import dataclasses
+
+        model_cfg = dataclasses.replace(
+            model_cfg, pcd_points=args.pcd_points,
+            vert_dims=min(model_cfg.vert_dims, args.pcd_points),
+        )
     diff_cfg = DiffusionConfig(
         steps=args.diffusion_steps, noise_schedule=args.noise_schedule
     )
@@ -75,13 +84,15 @@ def main():
     objs_kw = {}
     if args.objs_data_dir:
         objs_kw["objs_data_dir"] = args.objs_data_dir
-    train_ds = ds_cls(args.train_data_dir, max_cats=model_cfg.max_cats, **objs_kw)
+    train_ds = ds_cls(args.train_data_dir, max_cats=model_cfg.max_cats,
+                      pnt_size=model_cfg.pcd_points, **objs_kw)
     train_loader = DataLoader(
         train_ds, args.batch_size, shuffle=True, seed=args.seed, drop_last=True
     )
     valid_loader = None
     if args.valid_data_dir:
-        valid_ds = ds_cls(args.valid_data_dir, max_cats=model_cfg.max_cats, **objs_kw)
+        valid_ds = ds_cls(args.valid_data_dir, max_cats=model_cfg.max_cats,
+                          pnt_size=model_cfg.pcd_points, **objs_kw)
         valid_loader = DataLoader(valid_ds, args.batch_size, shuffle=False)
 
     mesh = None

@@ -1,0 +1,62 @@
+"""End-to-end CLI acceptance tests (BASELINE.md configs, tiny scale):
+synthetic data -> train_sdm -> test_sdm -> output contract."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, timeout=420):
+    env = dict(os.environ)
+    return subprocess.run(
+        [sys.executable, "-m"] + args, cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    from lsdm_tpu.data.synthetic import generate
+
+    generate(root, "proxd", n_scenes=1, n_seqs=4, pnt_size=32, seed=0)
+    generate(root, "proxd", n_scenes=1, n_seqs=2, pnt_size=32, seed=3,
+             split="test")
+    return root
+
+
+def test_train_then_eval_cli(synth, tmp_path):
+    save = str(tmp_path / "train_out")
+    r = run_cli([
+        "lsdm_tpu.run.train_sdm", "--train_data_dir", f"{synth}/proxd_train",
+        "--objs_data_dir", f"{synth}/objs", "--save_dir", save,
+        "--epochs", "1", "--batch_size", "2", "--diffusion_steps", "8",
+        "--pcd_points", "32", "--platform", "cpu",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpt = os.path.join(save, "best_model_train_loss.ckpt")
+    assert os.path.exists(ckpt)
+
+    out = str(tmp_path / "test_out")
+    r = run_cli([
+        "lsdm_tpu.run.test_sdm", f"{synth}/proxd_test",
+        "--objs_data_dir", f"{synth}/objs", "--load_model", ckpt,
+        "--output_dir", out, "--diffusion_steps", "8", "--batch_size", "2",
+        "--pcd_points", "32", "--platform", "cpu",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    # output contract (reference run/test_sdm.py:210-232)
+    results = open(os.path.join(out, "results.txt")).read()
+    assert "Final Chamfer distance" in results
+    assert "Top 3 accuracy" in results
+    preds = os.listdir(os.path.join(out, "predictions"))
+    assert len(preds) == 2
+    arr = np.load(os.path.join(out, "predictions", preds[0]))
+    assert arr.shape == (32, 3) and arr.dtype == np.float32
+    guid = np.load(os.path.join(out, "guiding_points", preds[0]))
+    assert guid.shape == (32, 3)
