@@ -40,6 +40,15 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: remote (tunneled) TPU compiles take
+    # minutes per program; cached executables make repeat bench runs fast.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from lsdm_tpu import config as cfg_lib
