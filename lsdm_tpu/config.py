@@ -16,7 +16,7 @@ presets that mirror the reference's canonical hyper-parameters exactly:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -13,7 +13,6 @@ conditioning closed over (see :mod:`lsdm_tpu.diffusion.gaussian`).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

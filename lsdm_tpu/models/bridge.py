@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lsdm_tpu.config import HUMANISE_CATEGORIES, PROXD_CATEGORIES
-from lsdm_tpu.ops.geometry import oriented_bbox, translate_objs_to_bbox
+from lsdm_tpu.ops.geometry import translate_objs_to_bbox
 
 # contact-class index -> mpcat40-ish name (reference ``:90-100``)
 PRED_SUBSET_TO_NAME = {

@@ -5,7 +5,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
-import numpy as np
 
 from lsdm_tpu.ops.attention import TorchLinear
 from lsdm_tpu.ops.embeddings import positional_encoding_table

@@ -10,10 +10,9 @@ and scans :meth:`denoise_from_cond` — mathematically identical output,
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from lsdm_tpu.diffusion.sampler import ddim_sample_loop, p_sample_loop
 from lsdm_tpu.models.sdm import SceneDiffusionModel

@@ -21,7 +21,6 @@ Since the encoder is frozen, we hoist it out of the jitted denoiser:
 
 from __future__ import annotations
 
-import functools
 import gzip
 import hashlib
 import os

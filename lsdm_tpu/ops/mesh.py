@@ -11,7 +11,7 @@ XLA matmuls — differentiable for free and MXU-friendly
 from __future__ import annotations
 
 import os.path as osp
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax.numpy as jnp
