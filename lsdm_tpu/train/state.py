@@ -51,13 +51,24 @@ def make_optimizer(
     lr: float = 1e-3,
     weight_decay: float = 0.01,
     lr_anneal_steps: int = 0,
+    skip_nonfinite: bool = False,
 ):
     """AdamW matching the reference trainer (``run/train_sdm.py:42-44``),
     with optional linear LR annealing (the generic TrainLoop's ``_anneal_lr``
-    in reference ``run/training_loop.py``)."""
+    in reference ``run/training_loop.py``).
+
+    ``skip_nonfinite`` wraps the update in ``optax.apply_if_finite`` — the
+    runtime fault handling that replaces the reference's fp16
+    overflow-backoff (``fp16_util.py:193-208``) and its
+    ``set_detect_anomaly`` NaN tripwire (``run/train_sdm.py:47``): non-finite
+    gradient steps are skipped instead of corrupting the state.
+    """
     if lr_anneal_steps:
         schedule = optax.linear_schedule(lr, 0.0, lr_anneal_steps)
     else:
         schedule = lr
-    return optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
-                       weight_decay=weight_decay)
+    tx = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                     weight_decay=weight_decay)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    return tx

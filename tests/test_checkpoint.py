@@ -103,3 +103,21 @@ def test_convert_torch_state_dict_rules():
 def test_convert_unknown_key_raises():
     with pytest.raises(KeyError):
         ckpt_lib.convert_torch_state_dict({"mystery.weight": np.zeros(3)})
+
+
+def test_skip_nonfinite_optimizer():
+    """apply_if_finite skips NaN gradient steps (the bf16-era replacement
+    for the reference's fp16 overflow backoff)."""
+    from lsdm_tpu.train.state import make_optimizer
+
+    tx = make_optimizer(skip_nonfinite=True)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    bad = {"w": jnp.asarray([jnp.nan, 1.0, 1.0])}
+    updates, state = tx.update(bad, state, params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(np.asarray(new["w"]), np.ones(3))  # skipped
+    good = {"w": jnp.ones(3)}
+    updates, state = tx.update(good, state, params)
+    new = optax.apply_updates(params, updates)
+    assert not np.allclose(np.asarray(new["w"]), np.ones(3))  # applied
