@@ -189,10 +189,14 @@ def fit_contact_clusters(
             )
             if obj_id is None:
                 continue
-            out_dir = os.path.join(output_dir, class_name, str(ci), obj_id)
-            os.makedirs(out_dir, exist_ok=True)
-            write_obj(os.path.join(out_dir, "opt_best.obj"), points)
-            with open(os.path.join(out_dir, "best_obj_id.json"), "w") as f:
+            # reference layout (fit_best_obj.py:349-369, consumed by
+            # scene_completion): meta at <class>/<idx>/best_obj_id.json,
+            # mesh at <class>/<idx>/<obj_id>/opt_best.obj
+            slot_dir = os.path.join(output_dir, class_name, str(ci))
+            mesh_dir = os.path.join(slot_dir, obj_id)
+            os.makedirs(mesh_dir, exist_ok=True)
+            write_obj(os.path.join(mesh_dir, "opt_best.obj"), points)
+            with open(os.path.join(slot_dir, "best_obj_id.json"), "w") as f:
                 json.dump({"best_obj_id": obj_id, "loss": loss, **pose}, f)
             results.append({
                 "class": class_name, "cluster": ci, "obj_id": obj_id,

@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--text_encoder", default="HASH", choices=["CLIP", "HASH"])
     ap.add_argument("--bpe_path", default=None)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--pcd_points", type=int, default=None,
+                    help="override cloud size (e.g. tiny smoke runs)")
     args = ap.parse_args()
 
     import jax
@@ -82,9 +84,16 @@ def main():
     model_cfg = (
         cfg_lib.sdm_proxd() if args.datatype == "proxd" else cfg_lib.sdm_humanise()
     )
+    if args.pcd_points:
+        import dataclasses
+
+        model_cfg = dataclasses.replace(
+            model_cfg, pcd_points=args.pcd_points,
+            vert_dims=min(model_cfg.vert_dims, args.pcd_points),
+        )
     ds_cls = ProxDatasetTxt if args.datatype == "proxd" else Humanise
     ds = ds_cls(args.data_dir, objs_data_dir=args.objs_data_dir,
-                max_cats=model_cfg.max_cats)
+                max_cats=model_cfg.max_cats, pnt_size=model_cfg.pcd_points)
     loader = DataLoader(ds, 1, shuffle=False)
 
     schedule = make_schedule("cosine", args.diffusion_steps)
