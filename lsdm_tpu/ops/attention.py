@@ -50,9 +50,9 @@ def multihead_attention(
     if Dh == 1:
         # Degenerate head_dim=1 case (the SDM's pcd_attention: embed 12,
         # heads 12, model/sdm.py:95).  The generic path would build
-        # (B, H, L, 1) tensors whose lane dimension pads 1 -> 128 on TPU —
-        # 128x wasted HBM traffic (measured 32 ms -> ~2 ms for 9x1024x1024).
-        # Rank-1 logits: logits[b,h,l,s] = q[b,l,h] * k[b,s,h].
+        # (B, H, L, 1) tensors whose lane dimension pads 1 -> 128 on TPU.
+        # Rank-1 logits instead: logits[b,h,l,s] = q[b,l,h] * k[b,s,h] —
+        # no dimension-1 arrays anywhere.
         logits = jnp.einsum(
             "blh,bsh->bhls", (q * scale).astype(jnp.float32),
             k.astype(jnp.float32), preferred_element_type=jnp.float32,
