@@ -53,6 +53,19 @@ def _group_norm(channels: int, num_groups: int, name: str):
     return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, name=name)
 
 
+class GraphLin(nn.Module):
+    """Per-vertex linear, nested as ``conv.layer`` exactly like the reference
+    ``GraphLin`` (posa_models.py:114-129) so torch checkpoint keys
+    ``...conv.layer.weight`` map 1:1 for GraphLin and Spiral blocks alike."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return TorchLinear(self.out_channels, dtype=self.dtype, name="layer")(x)
+
+
 class GraphLinBlock(nn.Module):
     """Per-vertex linear + GroupNorm + ReLU (reference ``posa_models.py:132-160``)."""
 
@@ -62,7 +75,7 @@ class GraphLinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = TorchLinear(self.out_channels, dtype=self.dtype, name="conv")(x)
+        x = GraphLin(self.out_channels, dtype=self.dtype, name="conv")(x)
         x = _group_norm(self.out_channels, self.num_groups, "norm")(x)
         return nn.relu(x)
 

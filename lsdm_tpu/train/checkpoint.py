@@ -181,8 +181,11 @@ def convert_torch_state_dict(
         # --- human backbone (POSA decoder): de_spiral.N.{conv.layer|layer|norm}
         m = re.match(r"human_backbone\.de_spiral\.(\d)\.conv\.layer\.(weight|bias)", key)
         if m:
+            # GraphLin_block and Spiral_block both nest the linear as
+            # conv.layer (posa_models.py:114-187); our flax blocks mirror
+            # that nesting so this single rule covers both.
             _set(params, ("human_backbone", f"de_spiral_{m.group(1)}", "conv",
-                          m.group(2)), v)
+                          "layer", m.group(2)), v)
             continue
         m = re.match(r"human_backbone\.de_spiral\.(\d)\.layer\.(weight|bias)", key)
         if m:  # final bare SpiralConv
@@ -234,6 +237,140 @@ def convert_torch_state_dict(
 
     # torch BN moving stats live per ConvBNBlock under name "bn"
     return params, batch_stats
+
+
+def convert_clip_text(state_dict: Dict[str, "np.ndarray"]) -> Dict:
+    """Convert a torch CLIP *text tower* state_dict to our flax
+    :class:`lsdm_tpu.models.text.CLIPTextTransformer` params.
+
+    Accepts either naming scheme (dict of numpy arrays):
+      * OpenAI ``clip`` package (what the reference loads,
+        ``model/sdm.py:266-277``): ``transformer.resblocks.N.attn.*``,
+        ``token_embedding.weight``, ``positional_embedding``, ``ln_final``,
+        ``text_projection`` — optionally prefixed ``clip_model.`` as saved
+        inside an SDM checkpoint.
+      * HuggingFace ``CLIPTextModelWithProjection``:
+        ``text_model.encoder.layers.N.self_attn.{q,k,v}_proj.*`` (fused into
+        one in_proj), ``text_projection.weight`` (transposed).
+
+    Vision-tower / logit-scale keys are ignored.
+    """
+    params: Dict = {}
+    hf_qkv: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def ln(prefix: Tuple[str, ...], leaf: str, v):
+        _set(params, prefix + ("scale" if leaf == "weight" else "bias",), v)
+
+    for key, val in state_dict.items():
+        if key.startswith("clip_model."):
+            key = key[len("clip_model."):]
+        v = np.asarray(val, np.float32)
+        if key.startswith("visual.") or key in ("logit_scale",):
+            continue
+        if key.startswith("text_model.embeddings.position_ids"):
+            continue  # buffer, not a parameter
+
+        # --- OpenAI naming
+        if key == "token_embedding.weight":
+            _set(params, ("token_embedding",), v)
+            continue
+        if key == "positional_embedding":
+            _set(params, ("positional_embedding",), v)
+            continue
+        if key == "text_projection":
+            _set(params, ("text_projection",), v)  # stored (width, embed)
+            continue
+        m = re.match(r"ln_final\.(weight|bias)", key)
+        if m:
+            ln(("ln_final",), m.group(1), v)
+            continue
+        m = re.match(
+            r"transformer\.resblocks\.(\d+)\.(ln_1|ln_2)\.(weight|bias)", key
+        )
+        if m:
+            ln((f"resblock_{m.group(1)}", m.group(2)), m.group(3), v)
+            continue
+        m = re.match(
+            r"transformer\.resblocks\.(\d+)\.attn\.(in_proj_weight|in_proj_bias)",
+            key,
+        )
+        if m:
+            _set(params, (f"resblock_{m.group(1)}", "attn", m.group(2)), v)
+            continue
+        m = re.match(
+            r"transformer\.resblocks\.(\d+)\.attn\.out_proj\.(weight|bias)", key
+        )
+        if m:
+            _set(params, (f"resblock_{m.group(1)}", "attn", "out_proj",
+                          m.group(2)), v)
+            continue
+        m = re.match(
+            r"transformer\.resblocks\.(\d+)\.mlp\.(c_fc|c_proj)\.(weight|bias)",
+            key,
+        )
+        if m:
+            _set(params, (f"resblock_{m.group(1)}", f"mlp_{m.group(2)}",
+                          m.group(3)), v)
+            continue
+
+        # --- HuggingFace naming
+        if key == "text_model.embeddings.token_embedding.weight":
+            _set(params, ("token_embedding",), v)
+            continue
+        if key == "text_model.embeddings.position_embedding.weight":
+            _set(params, ("positional_embedding",), v)
+            continue
+        if key == "text_projection.weight":
+            _set(params, ("text_projection",), v.T)  # torch Linear (out, in)
+            continue
+        m = re.match(r"text_model\.final_layer_norm\.(weight|bias)", key)
+        if m:
+            ln(("ln_final",), m.group(1), v)
+            continue
+        m = re.match(
+            r"text_model\.encoder\.layers\.(\d+)\.(layer_norm1|layer_norm2)"
+            r"\.(weight|bias)",
+            key,
+        )
+        if m:
+            which = "ln_1" if m.group(2) == "layer_norm1" else "ln_2"
+            ln((f"resblock_{m.group(1)}", which), m.group(3), v)
+            continue
+        m = re.match(
+            r"text_model\.encoder\.layers\.(\d+)\.self_attn\.(q|k|v)_proj"
+            r"\.(weight|bias)",
+            key,
+        )
+        if m:
+            hf_qkv.setdefault(m.group(1), {})[m.group(2) + m.group(3)] = v
+            continue
+        m = re.match(
+            r"text_model\.encoder\.layers\.(\d+)\.self_attn\.out_proj"
+            r"\.(weight|bias)",
+            key,
+        )
+        if m:
+            _set(params, (f"resblock_{m.group(1)}", "attn", "out_proj",
+                          m.group(2)), v)
+            continue
+        m = re.match(
+            r"text_model\.encoder\.layers\.(\d+)\.mlp\.(fc1|fc2)\.(weight|bias)",
+            key,
+        )
+        if m:
+            which = "mlp_c_fc" if m.group(2) == "fc1" else "mlp_c_proj"
+            _set(params, (f"resblock_{m.group(1)}", which, m.group(3)), v)
+            continue
+
+        raise KeyError(f"unmapped CLIP parameter: {key} {v.shape}")
+
+    # fuse HF per-projection q/k/v into torch-style in_proj
+    for layer, d in hf_qkv.items():
+        _set(params, (f"resblock_{layer}", "attn", "in_proj_weight"),
+             np.concatenate([d["qweight"], d["kweight"], d["vweight"]], 0))
+        _set(params, (f"resblock_{layer}", "attn", "in_proj_bias"),
+             np.concatenate([d["qbias"], d["kbias"], d["vbias"]], 0))
+    return params
 
 
 def load_torch_checkpoint(path: str, max_cats: int = 13):

@@ -93,6 +93,9 @@ def test_convert_torch_state_dict_rules():
     assert "var" in batch_stats["pcd_backbone"]["head"]["bn"]
     # groupnorm weight -> scale
     assert "scale" in params["human_backbone"]["de_spiral_0"]["norm"]
+    # GraphLin/Spiral blocks keep the torch conv.layer nesting
+    assert params["human_backbone"]["de_spiral_0"]["conv"]["layer"]["weight"].shape == (64, 3)
+    assert params["human_backbone"]["de_spiral_2"]["conv"]["layer"]["weight"].shape == (64, 64)
     # final spiral conv uses bare "layer"
     assert params["human_backbone"]["de_spiral_3"]["layer"]["weight"].shape == (3, 64)
     # clip keys are gone

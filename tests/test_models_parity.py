@@ -201,7 +201,7 @@ def test_graphlin_block_groupnorm_parity():
         expected = torch.relu(h)
     jm = GraphLinBlock(C_out, num_groups=8)
     params = {
-        "conv": {"weight": t2n(lin.weight), "bias": t2n(lin.bias)},
+        "conv": {"layer": {"weight": t2n(lin.weight), "bias": t2n(lin.bias)}},
         "norm": {"scale": t2n(gn.weight), "bias": t2n(gn.bias)},
     }
     got = jm.apply({"params": params}, jnp.asarray(t2n(x)))
