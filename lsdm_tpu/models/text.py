@@ -145,7 +145,8 @@ class SimpleTokenizer:
         self.re = re
         merges = gzip.open(bpe_path).read().decode("utf-8").split("\n")
         merges = merges[1 : 49152 - 256 - 2 + 1]
-        merges = [tuple(m.split()) for m in merges]
+        # drop blank tails (files smaller than the canonical 48894 merges)
+        merges = [tuple(m.split()) for m in merges if m.strip()]
         self.byte_encoder = bytes_to_unicode()
         vocab = list(self.byte_encoder.values())
         vocab = vocab + [v + "</w>" for v in vocab]
@@ -291,6 +292,15 @@ class TextEncoder:
             if bpe_path and os.path.exists(bpe_path):
                 self.tokenizer = SimpleTokenizer(bpe_path)
             else:
+                import warnings
+
+                warnings.warn(
+                    "CLIP text encoder requested without a BPE merges file "
+                    "(--bpe_path): falling back to the hash tokenizer. "
+                    "Embeddings will NOT match released checkpoints — "
+                    "checkpoint-parity claims require the CLIP BPE asset.",
+                    stacklevel=2,
+                )
                 self.tokenizer = HashTokenizer()
             self.model = CLIPTextTransformer(embed_dim=dim)
             if params is None:

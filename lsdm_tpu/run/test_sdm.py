@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--diffusion_steps", type=int, default=1000)
     ap.add_argument("--text_encoder", default="HASH", choices=["CLIP", "HASH"])
     ap.add_argument("--bpe_path", default=None)
+    ap.add_argument("--clip_weights", default=None,
+                    help="torch CLIP .pt/.bin to convert for the text tower "
+                    "(OpenAI clip or HF CLIPTextModelWithProjection naming)")
     ap.add_argument("--platform", default=None, help="force a jax platform")
     ap.add_argument("--pcd_points", type=int, default=None,
                     help="override cloud size (e.g. tiny smoke runs)")
@@ -82,9 +85,28 @@ def main():
         schedule = make_schedule("cosine", args.diffusion_steps)
 
     model = SceneDiffusionModel(model_cfg)
+    clip_params = None
+    if args.clip_weights:
+        import torch as _torch
+
+        _sd = _torch.load(args.clip_weights, map_location="cpu",
+                          weights_only=False)
+        _sd = _sd.get("state_dict", _sd)
+        clip_params = ckpt_lib.convert_clip_text(
+            {k: v.detach().cpu().numpy() for k, v in _sd.items()}
+        )
+        print(f"converted CLIP text tower: {args.clip_weights}")
     text_encoder = TextEncoder(
-        args.text_encoder, dim=model_cfg.clip_dim, bpe_path=args.bpe_path
+        args.text_encoder, dim=model_cfg.clip_dim, bpe_path=args.bpe_path,
+        params=clip_params,
     )
+    if args.load_model and args.text_encoder != "CLIP":
+        print(
+            "WARNING: evaluating a checkpoint with --text_encoder "
+            f"{args.text_encoder}; prompt embeddings will not match the "
+            "reference CLIP tower. Use --text_encoder CLIP with --bpe_path "
+            "and --clip_weights for parity-grade numbers."
+        )
 
     # --- load weights
     b0 = next(iter(loader))

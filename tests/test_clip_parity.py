@@ -1,0 +1,227 @@
+"""CLIP text-tower numeric parity vs torch `transformers` oracle, and
+SimpleTokenizer BPE parity vs HF CLIPTokenizer.
+
+The reference encodes prompts with the OpenAI CLIP ViT-B/32 text tower
+(``model/sdm.py:245-277``).  No pretrained weights are downloadable in this
+environment, so parity is proven structurally: a random-weight
+``CLIPTextModelWithProjection`` (same arch, QuickGELU, EOT pooling) is
+converted with :func:`convert_clip_text` and must match our flax tower to
+float32 tolerance.  Given converted *released* weights, the same code path
+reproduces the reference's prompt embeddings.
+"""
+
+import gzip
+import json
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from lsdm_tpu.models.text import CLIPTextTransformer, SimpleTokenizer, tokenize_batch
+from lsdm_tpu.train.checkpoint import convert_clip_text
+
+
+@pytest.fixture(autouse=True)
+def _high_precision():
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
+def _tiny_hf_model(vocab=512, width=64, heads=4, layers=3, embed=32, ctx=16):
+    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+
+    cfg = CLIPTextConfig(
+        vocab_size=vocab,
+        hidden_size=width,
+        intermediate_size=width * 4,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        max_position_embeddings=ctx,
+        projection_dim=embed,
+        hidden_act="quick_gelu",
+        # EOT = highest token id, the OpenAI convention our tower pools on
+        eos_token_id=vocab - 1,
+        bos_token_id=vocab - 2,
+    )
+    torch.manual_seed(0)
+    return CLIPTextModelWithProjection(cfg).eval()
+
+
+def _tokens(vocab, ctx, B=3, seed=1):
+    """Token rows in the reference scheme: [SOT] body [EOT] zero-pad, with
+    EOT = vocab-1 (the unique argmax, so both pooling rules agree)."""
+    rng = np.random.RandomState(seed)
+    toks = np.zeros((B, ctx), np.int64)
+    for i in range(B):
+        n = rng.randint(2, ctx - 2)
+        toks[i, 0] = vocab - 2
+        toks[i, 1 : 1 + n] = rng.randint(1, vocab - 2, n)
+        toks[i, 1 + n] = vocab - 1
+    return toks
+
+
+def test_clip_tower_parity_vs_hf():
+    vocab, width, heads, layers, embed, ctx = 512, 64, 4, 3, 32, 16
+    hf = _tiny_hf_model(vocab, width, heads, layers, embed, ctx)
+    toks = _tokens(vocab, ctx)
+
+    with torch.no_grad():
+        expected = hf(input_ids=torch.tensor(toks)).text_embeds.numpy()
+
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = convert_clip_text(sd)
+
+    ours = CLIPTextTransformer(
+        vocab_size=vocab, context_length=ctx, width=width, heads=heads,
+        layers=layers, embed_dim=embed,
+    )
+    # converted tree must exactly match the init tree's structure
+    ref_tree = ours.init(jax.random.PRNGKey(0), jnp.asarray(toks, jnp.int32))[
+        "params"
+    ]
+    ref_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(ref_tree)
+    }
+    got_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(params)
+    }
+    assert got_paths == ref_paths, (
+        f"missing: {ref_paths - got_paths}\nextra: {got_paths - ref_paths}"
+    )
+
+    got = ours.apply({"params": params}, jnp.asarray(toks, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), expected, atol=1e-4)
+
+
+def test_clip_converter_openai_naming():
+    """The OpenAI `clip` naming (what SDM checkpoints embed under
+    ``clip_model.``) converts to the identical param tree as HF naming."""
+    vocab, width, heads, layers, embed, ctx = 128, 32, 4, 2, 16, 8
+    hf = _tiny_hf_model(vocab, width, heads, layers, embed, ctx)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params_hf = convert_clip_text(sd)
+
+    # rebuild the same weights under OpenAI naming (+ clip_model. prefix)
+    oa = {}
+    oa["clip_model.token_embedding.weight"] = sd[
+        "text_model.embeddings.token_embedding.weight"
+    ]
+    oa["clip_model.positional_embedding"] = sd[
+        "text_model.embeddings.position_embedding.weight"
+    ]
+    oa["clip_model.text_projection"] = sd["text_projection.weight"].T
+    oa["clip_model.ln_final.weight"] = sd["text_model.final_layer_norm.weight"]
+    oa["clip_model.ln_final.bias"] = sd["text_model.final_layer_norm.bias"]
+    oa["clip_model.logit_scale"] = np.zeros(())  # ignored
+    for i in range(layers):
+        p = f"text_model.encoder.layers.{i}"
+        q = f"clip_model.transformer.resblocks.{i}"
+        oa[f"{q}.ln_1.weight"] = sd[f"{p}.layer_norm1.weight"]
+        oa[f"{q}.ln_1.bias"] = sd[f"{p}.layer_norm1.bias"]
+        oa[f"{q}.ln_2.weight"] = sd[f"{p}.layer_norm2.weight"]
+        oa[f"{q}.ln_2.bias"] = sd[f"{p}.layer_norm2.bias"]
+        oa[f"{q}.attn.in_proj_weight"] = np.concatenate(
+            [sd[f"{p}.self_attn.{x}_proj.weight"] for x in "qkv"], 0
+        )
+        oa[f"{q}.attn.in_proj_bias"] = np.concatenate(
+            [sd[f"{p}.self_attn.{x}_proj.bias"] for x in "qkv"], 0
+        )
+        oa[f"{q}.attn.out_proj.weight"] = sd[f"{p}.self_attn.out_proj.weight"]
+        oa[f"{q}.attn.out_proj.bias"] = sd[f"{p}.self_attn.out_proj.bias"]
+        oa[f"{q}.mlp.c_fc.weight"] = sd[f"{p}.mlp.fc1.weight"]
+        oa[f"{q}.mlp.c_fc.bias"] = sd[f"{p}.mlp.fc1.bias"]
+        oa[f"{q}.mlp.c_proj.weight"] = sd[f"{p}.mlp.fc2.weight"]
+        oa[f"{q}.mlp.c_proj.bias"] = sd[f"{p}.mlp.fc2.bias"]
+    params_oa = convert_clip_text(oa)
+
+    flat_hf = jax.tree_util.tree_leaves_with_path(params_hf)
+    flat_oa = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(params_oa)
+    )
+    assert len(flat_hf) == len(flat_oa)
+    for p, v in flat_hf:
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(flat_oa[jax.tree_util.keystr(p)])
+        )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer algorithm parity on a synthetic merges file
+
+
+def _synthetic_bpe(tmp_path):
+    """Build a small CLIP-scheme BPE (byte alphabet + </w> + merges) and
+    write both our gzipped merges file and HF's vocab.json/merges.txt."""
+    from lsdm_tpu.models.text import bytes_to_unicode
+
+    merges = [
+        ("t", "h"), ("th", "e</w>"), ("a</w>", ""), ("c", "h"),
+        ("ch", "a"), ("i", "r</w>"), ("cha", "ir</w>"), ("t", "a"),
+        ("b", "l"), ("ta", "bl"), ("tabl", "e</w>"), ("o", "n</w>"),
+        ("p", "l"), ("a", "c"), ("pl", "ac"), ("plac", "e</w>"),
+    ]
+    merges = [m for m in merges if m[1]]  # drop the filler
+    byte_enc = bytes_to_unicode()
+    vocab = list(byte_enc.values())
+    vocab = vocab + [v + "</w>" for v in vocab]
+    for m in merges:
+        vocab.append("".join(m))
+    vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+
+    merges_gz = tmp_path / "bpe_merges.txt.gz"
+    with gzip.open(merges_gz, "wb") as f:
+        lines = ["#version: synthetic"] + [" ".join(m) for m in merges]
+        f.write(("\n".join(lines) + "\n").encode())
+
+    vocab_json = tmp_path / "vocab.json"
+    vocab_json.write_text(json.dumps({w: i for i, w in enumerate(vocab)}))
+    merges_txt = tmp_path / "merges.txt"
+    merges_txt.write_text(
+        "#version: synthetic\n" + "\n".join(" ".join(m) for m in merges) + "\n"
+    )
+    return merges_gz, vocab_json, merges_txt
+
+
+def test_simple_tokenizer_matches_hf(tmp_path):
+    from transformers import CLIPTokenizer
+
+    merges_gz, vocab_json, merges_txt = _synthetic_bpe(tmp_path)
+    ours = SimpleTokenizer(str(merges_gz))
+    hf = CLIPTokenizer(str(vocab_json), str(merges_txt))
+
+    prompts = [
+        "place the chair on the table",
+        "THE TABLE",          # lowercasing
+        "chairs, tables!",    # punctuation split + unmerged words
+        "place   the    chair",  # whitespace cleanup
+    ]
+    for p in prompts:
+        got = ours.encode(p)
+        expected = hf(p, add_special_tokens=False)["input_ids"]
+        assert got == expected, f"{p!r}: {got} != {expected}"
+    # specials line up with HF's convention (vocab order)
+    assert ours.sot == hf.convert_tokens_to_ids("<|startoftext|>")
+    assert ours.eot == hf.convert_tokens_to_ids("<|endoftext|>")
+
+
+def test_tokenize_batch_pad_scheme_with_bpe(tmp_path):
+    """Reference pad scheme (model/sdm.py:248-255) on the real BPE code:
+    [SOT] + tokens truncated to 20 + [EOT], zero-padded to 77."""
+    merges_gz, _, _ = _synthetic_bpe(tmp_path)
+    tok = SimpleTokenizer(str(merges_gz))
+    out = tokenize_batch(tok, ["place the chair", " ".join(["table"] * 40)])
+    assert out.shape == (2, 77)
+    assert out[0, 0] == tok.sot
+    body = tok.encode("place the chair")
+    assert list(out[0, 1 : 1 + len(body)]) == body
+    assert out[0, 1 + len(body)] == tok.eot
+    assert (out[0, 2 + len(body) :] == 0).all()
+    # truncation: 20 body tokens max, EOT at index 21
+    assert out[1, 21] == tok.eot
+    assert (out[1, 22:] == 0).all()
