@@ -146,6 +146,22 @@ class _PropertyMLP(nn.Module):
         return x
 
 
+class _ExtraFC(nn.Module):
+    """Optional pre-head MLP (reference ``Hidden2Output.hidden2output``,
+    ``hidden_to_output.py:23-29``): Linear(h,2h),ReLU,Linear(2h,h),ReLU.
+    Reference quirk: applied only in the training ``forward``
+    (``hidden_to_output.py:267-268``), never in the sampling paths —
+    reproduced."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = x.shape[-1]
+        x = nn.relu(TorchLinear(2 * h, dtype=self.dtype, name="0")(x))
+        return nn.relu(TorchLinear(h, dtype=self.dtype, name="2")(x))
+
+
 class AutoregressiveDMLLHead(nn.Module):
     """(reference ``AutoregressiveDMLL``, ``hidden_to_output.py:53-306``)"""
 
@@ -171,7 +187,7 @@ class AutoregressiveDMLLHead(nn.Module):
         self.size_layer_y = mk()
         self.size_layer_z = mk()
         if self.with_extra_fc:
-            self.hidden2output = _PropertyMLP(self.hidden_size, False, self.dtype)
+            self.hidden2output = _ExtraFC(self.dtype)
 
     def _chain_features(self, x, class_labels, translations=None, angles=None):
         c = self.fc_class_labels(class_labels)
@@ -190,6 +206,8 @@ class AutoregressiveDMLLHead(nn.Module):
     def __call__(self, x: jax.Array, targets: Dict[str, jax.Array]) -> BBoxPrediction:
         """Training path (reference ``forward``, ``hidden_to_output.py:266-306``):
         each property conditioned on the TARGET values of the previous."""
+        if self.with_extra_fc:
+            x = self.hidden2output(x)
         class_labels_tr = targets["class_labels_tr"].astype(jnp.float32)
         translations_tr = targets["translations_tr"].astype(jnp.float32)
         angles_tr = targets["angles_tr"].astype(jnp.float32)
@@ -352,6 +370,22 @@ class AutoregressiveTransformer(nn.Module):
     scalar_head: bool = True
     feature_size: int = 64
     contact: bool = False  # True -> MIME (d_model 528, mime.py:5-64)
+    # "simple" (compact CNN), "resnet18" or "alexnet" (faithful torchvision
+    # topologies, feature_extractors.py; reference default is resnet18 with
+    # freeze_bn=True, atiss networks/__init__.py:77-81)
+    feature_extractor_name: str = "simple"
+    freeze_bn: bool = True
+    # Reproduce the LSDM fork's transformer-axis bug: the vendored ATISS
+    # swaps fast_transformers for torch ``nn.TransformerEncoder`` but keeps
+    # feeding batch-first (B, L, E) tensors while torch defaults to
+    # ``batch_first=False`` (``autoregressive_transformer.py:20-24,140``) —
+    # so self-attention actually runs over the BATCH axis (scenes at the
+    # same slot attend to each other; with B=1 every token only attends to
+    # itself).  LSDM's ATISS/MIME baselines were trained this way
+    # (``run/train_atiss.py:74``), so converted baseline checkpoints need
+    # this flag; default False = the intended (upstream-ATISS) token-axis
+    # attention, which is also the sane TPU design.
+    torch_seq_axis_quirk: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -359,8 +393,18 @@ class AutoregressiveTransformer(nn.Module):
         return 528 if self.contact else 512
 
     def setup(self):
+        from lsdm_tpu.models.feature_extractors import (
+            AlexNetFeatures, ResNet18Features)
+
         D = self.d_model
-        self.feature_extractor = RoomFeatureExtractor(self.feature_size, self.dtype)
+        if self.feature_extractor_name == "resnet18":
+            self.feature_extractor = ResNet18Features(
+                self.feature_size, self.freeze_bn, self.dtype)
+        elif self.feature_extractor_name == "alexnet":
+            self.feature_extractor = AlexNetFeatures(self.feature_size, self.dtype)
+        else:
+            self.feature_extractor = RoomFeatureExtractor(self.feature_size,
+                                                          self.dtype)
         self.fc_room_f = TorchLinear(D, dtype=self.dtype)
         self.fc_class = TorchLinear(64, use_bias=False, dtype=self.dtype)
         if self.contact:
@@ -422,6 +466,15 @@ class AutoregressiveTransformer(nn.Module):
         empty = jnp.broadcast_to(self.empty_token_embedding[None], (B, 1, self.d_model))
         X = jnp.concatenate([start, empty, X], axis=1)
         X = self.fc(X)
+        if self.torch_seq_axis_quirk:
+            # Swap axes so "sequence" = scenes, exactly like torch sees the
+            # reference's batch-first input with batch_first=False.  Padding
+            # masks are irrelevant here: tokens never attend to other tokens
+            # of the same scene at all.
+            X = jnp.swapaxes(X, 0, 1)
+            for layer in self.layers:
+                X = layer(X, train=train)
+            return jnp.swapaxes(X, 0, 1)[:, 1:2]
         attn_bias = None
         if "valid_mask" in boxes and boxes["valid_mask"] is not None:
             valid = jnp.concatenate(
@@ -452,13 +505,221 @@ class AutoregressiveTransformer(nn.Module):
         sz = self.hidden2output.sample_sizes(F, cls, tr, ang, ks[3])
         return {"class_labels": cls, "translations": tr, "sizes": sz, "angles": ang}
 
+    def decode_step_with_class(self, boxes: Dict[str, jax.Array],
+                               class_label: jax.Array, key: jax.Array
+                               ) -> Dict[str, jax.Array]:
+        """Sample translation/angle/size for a GIVEN class (reference
+        ``autoregressive_decode_with_class_label``,
+        ``autoregressive_transformer.py:229-259``)."""
+        F = self.encode(boxes)
+        ks = jax.random.split(key, 3)
+        tr = self.hidden2output.sample_translations(F, class_label, ks[0])
+        ang = self.hidden2output.sample_angles(F, class_label, tr, ks[1])
+        sz = self.hidden2output.sample_sizes(F, class_label, tr, ang, ks[2])
+        return {"class_labels": class_label, "translations": tr, "sizes": sz,
+                "angles": ang}
+
+    def decode_step_with_class_and_translation(
+        self, boxes: Dict[str, jax.Array], class_label: jax.Array,
+        translation: jax.Array, key: jax.Array) -> Dict[str, jax.Array]:
+        """(reference ``autoregressive_decode_with_class_label_and_translation``,
+        ``autoregressive_transformer.py:336-366``)"""
+        F = self.encode(boxes)
+        ks = jax.random.split(key, 2)
+        ang = self.hidden2output.sample_angles(F, class_label, translation, ks[0])
+        sz = self.hidden2output.sample_sizes(F, class_label, translation, ang,
+                                             ks[1])
+        return {"class_labels": class_label, "translations": translation,
+                "sizes": sz, "angles": ang}
+
     def distribution_classes(self, boxes: Dict[str, jax.Array]) -> jax.Array:
         """Class distribution for the next object (used by
         ``scene_completion.py:176-181``)."""
         F = self.encode(boxes)
         return self.hidden2output.pred_class_probs(F)
 
+    def distribution_translations(self, boxes: Dict[str, jax.Array],
+                                  class_label: jax.Array):
+        """DMLL parameters of the translation distributions for a given class
+        (reference ``distribution_translations``,
+        ``autoregressive_transformer.py:433-468``); meaningful with
+        ``scalar_head=False``."""
+        F = self.encode(boxes)
+        return self.hidden2output.pred_dmll_params_translation(F, class_label)
+
 
 def MIME(n_classes: int, **kw) -> AutoregressiveTransformer:
-    """MIME = ATISS + contact channel (reference ``mime.py``)."""
+    """MIME = ATISS + contact channel (reference ``mime.py``).  The encoder
+    width follows the 528-wide tokens (``mime.py:19-23`` builds its own
+    d_model=528 encoder), so ``hidden_dims`` defaults to 528 here."""
+    kw.setdefault("hidden_dims", 528)
     return AutoregressiveTransformer(n_classes=n_classes, contact=True, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Scene-generation APIs (reference ``autoregressive_transformer.py:209-468``).
+#
+# TPU-first re-design: the reference grows python lists of tensors and
+# re-encodes from scratch every step (one CUDA graph per length); here the
+# box sequence lives in a fixed-(max_boxes) buffer with a ``valid_mask``
+# key-padding bias, so the whole autoregressive loop is ONE compiled
+# ``lax.while_loop`` — no per-length recompilation, static shapes throughout.
+#
+# Box convention: ``boxes`` never materializes the reference's start symbol —
+# its class vector never reaches the computation anyway (``_encode`` drops
+# token 0, ``autoregressive_transformer.py:158``; training feeds no start
+# box, ``run/train_atiss.py:58-64``): ``encode`` prepends the room-feature
+# start token and the learned empty token itself.  Returned boxes therefore
+# hold only real objects (plus, for add_object parity, the end symbol).
+
+
+def end_symbol(n_classes: int) -> Dict[str, jax.Array]:
+    """(reference ``end_symbol``, ``autoregressive_transformer.py:72-80``)"""
+    cls = jnp.zeros((1, 1, n_classes)).at[0, 0, -1].set(1.0)
+    return {"class_labels": cls, "translations": jnp.zeros((1, 1, 3)),
+            "sizes": jnp.zeros((1, 1, 3)), "angles": jnp.zeros((1, 1, 1))}
+
+
+def _empty_boxes(B: int, L: int, C: int, contact: bool) -> Dict[str, jax.Array]:
+    d = {
+        "class_labels": jnp.zeros((B, L, C), jnp.float32),
+        "translations": jnp.zeros((B, L, 3), jnp.float32),
+        "sizes": jnp.zeros((B, L, 3), jnp.float32),
+        "angles": jnp.zeros((B, L, 1), jnp.float32),
+        "valid_mask": jnp.zeros((B, L), jnp.float32),
+    }
+    if contact:
+        d["contact_labels"] = jnp.zeros((B, L, 1), jnp.float32)
+    return d
+
+
+def _as_class_onehot(class_label, n_classes: int) -> jax.Array:
+    """int | (C,) | (1,1,C) -> (1,1,C) one-hot/float array (reference accepts
+    ints and numpy arrays, ``autoregressive_transformer.py:265-274``)."""
+    if jnp.ndim(class_label) == 0:
+        return jax.nn.one_hot(jnp.asarray(class_label, jnp.int32),
+                              n_classes)[None, None]
+    arr = jnp.asarray(class_label, jnp.float32)
+    return arr.reshape(1, 1, n_classes)
+
+
+def _autoregressive_fill(model, variables, boxes, key, start: jax.Array,
+                         limit: int):
+    """Shared loop of generate_boxes / complete_scene: decode into slots
+    [start, limit) until the end symbol is sampled."""
+
+    def decode(b, k):
+        return model.apply(variables, b, k,
+                           method=AutoregressiveTransformer.decode_step)
+
+    def cond_fn(carry):
+        b, i, done, k = carry
+        return jnp.logical_and(jnp.logical_not(done), i < limit)
+
+    def body_fn(carry):
+        b, i, done, k = carry
+        k, sub = jax.random.split(k)
+        box = decode(b, sub)
+        out = dict(b)
+        for name in ("class_labels", "translations", "sizes", "angles"):
+            out[name] = jax.lax.dynamic_update_slice_in_dim(
+                b[name], box[name].astype(b[name].dtype), i, axis=1)
+        out["valid_mask"] = b["valid_mask"].at[:, i].set(1.0)
+        # end-symbol check AFTER writing (the end box stays in the output,
+        # reference generate_boxes:215-220)
+        done = box["class_labels"][0, 0, -1] == 1
+        return (out, i + 1, done, k)
+
+    boxes, count, _, _ = jax.lax.while_loop(
+        cond_fn, body_fn, (boxes, start, jnp.asarray(False), key))
+    return boxes, count
+
+
+def generate_boxes(model: AutoregressiveTransformer, variables, room_mask,
+                   key: jax.Array, max_boxes: int = 32
+                   ) -> Tuple[Dict[str, jax.Array], jax.Array]:
+    """Generate a full scene (reference ``generate_boxes``,
+    ``autoregressive_transformer.py:209-227``).
+
+    Returns ``(boxes, count)``: fixed-shape (1, max_boxes, ·) buffers whose
+    first ``count`` slots are generated boxes (the last one being the end
+    symbol unless ``max_boxes`` was exhausted), plus the matching
+    ``valid_mask``.
+    """
+    boxes = _empty_boxes(room_mask.shape[0], max_boxes, model.n_classes,
+                         model.contact)
+    boxes["room_layout"] = room_mask
+    return _autoregressive_fill(model, variables, boxes, key,
+                                jnp.asarray(0, jnp.int32), max_boxes)
+
+
+def complete_scene(model: AutoregressiveTransformer, variables,
+                   boxes: Dict[str, jax.Array], room_mask, key: jax.Array,
+                   max_boxes: int = 100
+                   ) -> Tuple[Dict[str, jax.Array], jax.Array]:
+    """Autocomplete a partial scene (reference ``complete_scene``,
+    ``autoregressive_transformer.py:303-334``): keeps the given boxes and
+    appends up to ``max_boxes`` sampled ones."""
+    B, L0, C = boxes["class_labels"].shape
+    out = _empty_boxes(B, L0 + max_boxes, C, model.contact)
+    for name in ("class_labels", "translations", "sizes", "angles",
+                 "contact_labels"):
+        if name in boxes:
+            out[name] = jax.lax.dynamic_update_slice_in_dim(
+                out[name], boxes[name].astype(jnp.float32), 0, axis=1)
+    given = boxes.get("valid_mask", jnp.ones((B, L0)))
+    out["valid_mask"] = out["valid_mask"].at[:, :L0].set(given)
+    out["room_layout"] = room_mask
+    return _autoregressive_fill(model, variables, out, key,
+                                jnp.asarray(L0, jnp.int32), L0 + max_boxes)
+
+
+def add_object(model: AutoregressiveTransformer, variables, room_mask,
+               class_label, boxes: Dict[str, jax.Array], key: jax.Array
+               ) -> Dict[str, jax.Array]:
+    """Place one object of a requested class (reference ``add_object``,
+    ``autoregressive_transformer.py:261-301``).  Returns the boxes with the
+    sampled object and the end symbol appended."""
+    cls = _as_class_onehot(class_label, model.n_classes)
+    full = dict(boxes)
+    full["room_layout"] = room_mask
+    box = model.apply(variables, full, cls, key,
+                      method=AutoregressiveTransformer.decode_step_with_class)
+    end = end_symbol(model.n_classes)
+    return {
+        k: jnp.concatenate([boxes[k], box[k], end[k]], axis=1)
+        for k in ("class_labels", "translations", "sizes", "angles")
+    }
+
+
+def add_object_with_class_and_translation(
+    model: AutoregressiveTransformer, variables, room_mask, class_label,
+    translation, boxes: Dict[str, jax.Array], key: jax.Array
+) -> Dict[str, jax.Array]:
+    """(reference ``add_object_with_class_and_translation``,
+    ``autoregressive_transformer.py:368-417``)"""
+    cls = _as_class_onehot(class_label, model.n_classes)
+    tr = jnp.asarray(translation, jnp.float32).reshape(1, 1, 3)
+    full = dict(boxes)
+    full["room_layout"] = room_mask
+    box = model.apply(
+        variables, full, cls, tr, key,
+        method=AutoregressiveTransformer.decode_step_with_class_and_translation)
+    end = end_symbol(model.n_classes)
+    return {
+        k: jnp.concatenate([boxes[k], box[k], end[k]], axis=1)
+        for k in ("class_labels", "translations", "sizes", "angles")
+    }
+
+
+def distribution_translations(model: AutoregressiveTransformer, variables,
+                              boxes: Dict[str, jax.Array], room_mask,
+                              class_label):
+    """(reference ``distribution_translations``,
+    ``autoregressive_transformer.py:433-468``)"""
+    cls = _as_class_onehot(class_label, model.n_classes)
+    full = dict(boxes)
+    full["room_layout"] = room_mask
+    return model.apply(
+        variables, full, cls,
+        method=AutoregressiveTransformer.distribution_translations)

@@ -64,13 +64,22 @@ def boxes_from_batch(batch, num_classes: int, contact: bool = False) -> Dict:
     return boxes
 
 
-def build_model(kind: str, num_classes: int):
+def build_model(kind: str, num_classes: int, args=None):
     from lsdm_tpu.models.atiss import MIME, AutoregressiveTransformer
 
     input_dims = num_classes + 7  # reference run/train_atiss.py:289-291
+    kw = {}
+    if args is not None:
+        # faithful torchvision extractors + the reference's transformer-axis
+        # bug, for converted-checkpoint parity (models/atiss.py docstrings)
+        kw = dict(
+            feature_extractor_name=getattr(args, "feature_extractor", "simple"),
+            freeze_bn=not getattr(args, "no_freeze_bn", False),
+            torch_seq_axis_quirk=getattr(args, "torch_seq_axis_quirk", False),
+        )
     if kind == "mime":
-        return MIME(n_classes=input_dims), input_dims
-    return AutoregressiveTransformer(n_classes=input_dims), input_dims
+        return MIME(n_classes=input_dims, **kw), input_dims
+    return AutoregressiveTransformer(n_classes=input_dims, **kw), input_dims
 
 
 def train_baseline(args, kind: str):
@@ -94,7 +103,7 @@ def train_baseline(args, kind: str):
     loader = DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed,
                         drop_last=True)
 
-    model, input_dims = build_model(kind, num_cats)
+    model, input_dims = build_model(kind, num_cats, args)
     contact = kind == "mime"
     bridge = None
     if kind == "cf_atiss":
@@ -116,7 +125,10 @@ def train_baseline(args, kind: str):
     @jax.jit
     def step(state, boxes, gt_translation, gt_size, target_cat):
         def loss_fn(params):
-            out = model.apply({"params": params}, boxes)
+            vs = {"params": params}
+            if state.batch_stats:
+                vs["batch_stats"] = state.batch_stats  # frozen extractor stats
+            out = model.apply(vs, boxes)
             pred_sizes = jnp.concatenate(
                 [out.sizes_x, out.sizes_y, out.sizes_z], -1
             )[:, 0]
@@ -192,7 +204,7 @@ def eval_baseline(args, kind: str):
     kw = {"objs_data_dir": args.objs_data_dir} if args.objs_data_dir else {}
     ds = ds_cls(args.data_dir, max_cats=num_cats, **kw)
     loader = DataLoader(ds, args.batch_size, shuffle=False)
-    model, input_dims = build_model(kind, num_cats)
+    model, input_dims = build_model(kind, num_cats, args)
     contact = kind == "mime"
 
     b0 = next(iter(loader))
@@ -208,7 +220,13 @@ def eval_baseline(args, kind: str):
     if kind == "cf_atiss":
         bridge = _make_bridge(args, model, state, num_cats, input_dims)
 
-    apply = jax.jit(lambda params, boxes: model.apply({"params": params}, boxes))
+    def _apply(params, batch_stats, boxes):
+        vs = {"params": params}
+        if batch_stats:
+            vs["batch_stats"] = batch_stats
+        return model.apply(vs, boxes)
+
+    apply = jax.jit(_apply)
 
     os.makedirs(args.output_dir, exist_ok=True)
     os.makedirs(os.path.join(args.output_dir, "predictions"), exist_ok=True)
@@ -217,7 +235,8 @@ def eval_baseline(args, kind: str):
         if bridge is not None:
             out = bridge(batch.given_objs, batch.given_cats, batch.mask)
         else:
-            out = apply(state.params, boxes_from_batch(batch, input_dims, contact))
+            out = apply(state.params, state.batch_stats,
+                        boxes_from_batch(batch, input_dims, contact))
         pred_sizes = np.asarray(
             jnp.concatenate([out.sizes_x, out.sizes_y, out.sizes_z], -1)
         )[:, 0]
@@ -300,7 +319,10 @@ def _make_bridge(args, atiss_model, atiss_state, num_cats: int, input_dims: int)
         atiss_apply = None  # make_boxes-only usage (training path)
     else:
         def atiss_apply(boxes):
-            return atiss_model.apply({"params": atiss_state.params}, boxes)
+            vs = {"params": atiss_state.params}
+            if atiss_state.batch_stats:
+                vs["batch_stats"] = atiss_state.batch_stats
+            return atiss_model.apply(vs, boxes)
 
     return BridgeModel(atiss_apply, posa_decode, args.datatype, input_dims,
                        seed=args.seed)
@@ -326,4 +348,13 @@ def make_arg_parser(train: bool):
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--feature_extractor", default="simple",
+                    choices=["simple", "resnet18", "alexnet"],
+                    help="room-layout extractor; resnet18 matches the "
+                         "reference default (networks/__init__.py:78)")
+    ap.add_argument("--no_freeze_bn", action="store_true",
+                    help="train resnet18 BN live instead of frozen stats")
+    ap.add_argument("--torch_seq_axis_quirk", action="store_true",
+                    help="reproduce the LSDM fork's batch-axis attention "
+                         "(needed when evaluating converted LSDM baselines)")
     return ap

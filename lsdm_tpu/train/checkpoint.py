@@ -373,6 +373,161 @@ def convert_clip_text(state_dict: Dict[str, "np.ndarray"]) -> Dict:
     return params
 
 
+def convert_atiss_state_dict(
+    state_dict: Dict[str, "np.ndarray"],
+) -> Tuple[Dict, Dict]:
+    """Convert a reference ATISS / MIME torch ``state_dict`` to
+    (params, batch_stats) for :class:`lsdm_tpu.models.atiss.AutoregressiveTransformer`.
+
+    Covers the full released-checkpoint surface
+    (``atiss/scene_synthesis/networks/``):
+
+      * ``transformer_encoder.layers.N.*`` (torch ``nn.TransformerEncoderLayer``)
+        -> our ``layer_N`` (same math, same layout);
+      * ``feature_extractor._feature_extractor.*`` — torchvision ResNet18
+        (incl. FrozenBatchNorm stats, kept verbatim: the eps fold happened at
+        freeze time, ``frozen_batchnorm.py:38``) or AlexNet;
+      * ``hidden2output.*`` chained DMLL property heads
+        (``hidden_to_output.py:53-115``);
+      * token embeddings / projections.  ``start_token_embedding`` is skipped:
+        it is registered but never used by any forward path
+        (``autoregressive_transformer.py:25-28``).
+
+    Conv weights stay in torch (out, in, kh, kw) layout — our
+    :class:`~lsdm_tpu.models.feature_extractors.TorchConv` stores them
+    verbatim.  Linears likewise (TorchLinear).
+    """
+    params: Dict = {}
+    batch_stats: Dict = {}
+
+    def put_bn(prefix: Tuple[str, ...], leaf: str, v: np.ndarray):
+        if leaf == "weight":
+            _set(params, prefix + ("scale",), v)
+        elif leaf == "bias":
+            _set(params, prefix + ("bias",), v)
+        elif leaf == "running_mean":
+            _set(batch_stats, prefix + ("mean",), v)
+        elif leaf == "running_var":
+            _set(batch_stats, prefix + ("var",), v)
+        # num_batches_tracked dropped
+
+    for key, val in state_dict.items():
+        v = np.asarray(val, np.float32)
+
+        if key == "start_token_embedding":
+            continue  # registered but unused (autoregressive_transformer.py:25-28)
+        if key in ("empty_token_embedding", "positional_embedding"):
+            _set(params, (key,), v)
+            continue
+        m = re.match(r"(fc_room_f|fc)\.(weight|bias)", key)
+        if m:
+            _set(params, (m.group(1), m.group(2)), v)
+            continue
+        m = re.match(r"(fc_class|contact_fc)\.weight", key)
+        if m:
+            _set(params, (m.group(1), "weight"), v)
+            continue
+
+        # --- transformer encoder (torch nn.TransformerEncoderLayer names)
+        m = re.match(
+            r"transformer_encoder\.layers\.(\d+)\.self_attn\."
+            r"(in_proj_weight|in_proj_bias)", key)
+        if m:
+            _set(params, (f"layer_{m.group(1)}", m.group(2)), v)
+            continue
+        m = re.match(
+            r"transformer_encoder\.layers\.(\d+)\.self_attn\.out_proj\."
+            r"(weight|bias)", key)
+        if m:
+            _set(params, (f"layer_{m.group(1)}", "attn_out_proj", m.group(2)), v)
+            continue
+        m = re.match(
+            r"transformer_encoder\.layers\.(\d+)\.(linear1|linear2)\."
+            r"(weight|bias)", key)
+        if m:
+            _set(params, (f"layer_{m.group(1)}", m.group(2), m.group(3)), v)
+            continue
+        m = re.match(
+            r"transformer_encoder\.layers\.(\d+)\.(norm1|norm2)\.(weight|bias)",
+            key)
+        if m:
+            leaf = "scale" if m.group(3) == "weight" else "bias"
+            _set(params, (f"layer_{m.group(1)}", m.group(2), leaf), v)
+            continue
+
+        # --- DMLL head
+        m = re.match(r"hidden2output\.(class_layer|fc_class_labels)\.(weight|bias)",
+                     key)
+        if m:
+            _set(params, ("hidden2output", m.group(1), m.group(2)), v)
+            continue
+        m = re.match(
+            r"hidden2output\.(centroid_layer_[xyz]|angle_layer|size_layer_[xyz])"
+            r"\.(\d)\.(weight|bias)", key)
+        if m:
+            _set(params, ("hidden2output", m.group(1), m.group(2), m.group(3)), v)
+            continue
+        m = re.match(r"hidden2output\.hidden2output\.(\d)\.(weight|bias)", key)
+        if m:  # with_extra_fc pre-head MLP (hidden_to_output.py:23-29)
+            _set(params, ("hidden2output", "hidden2output", m.group(1),
+                          m.group(2)), v)
+            continue
+
+        # --- feature extractor (torchvision resnet18 / alexnet surgery)
+        fe = "feature_extractor._feature_extractor."
+        if key.startswith(fe):
+            sub = key[len(fe):]
+            m = re.match(r"conv1\.weight", sub)
+            if m:
+                _set(params, ("feature_extractor", "conv1", "weight"), v)
+                continue
+            m = re.match(r"bn1\.(.+)", sub)
+            if m:
+                put_bn(("feature_extractor", "bn1"), m.group(1), v)
+                continue
+            m = re.match(r"(layer\d)\.(\d)\.(conv1|conv2)\.weight", sub)
+            if m:
+                _set(params, ("feature_extractor", f"{m.group(1)}_{m.group(2)}",
+                              m.group(3), "weight"), v)
+                continue
+            m = re.match(r"(layer\d)\.(\d)\.(bn1|bn2)\.(.+)", sub)
+            if m:
+                put_bn(("feature_extractor", f"{m.group(1)}_{m.group(2)}",
+                        m.group(3)), m.group(4), v)
+                continue
+            m = re.match(r"(layer\d)\.(\d)\.downsample\.0\.weight", sub)
+            if m:
+                _set(params, ("feature_extractor", f"{m.group(1)}_{m.group(2)}",
+                              "downsample_0", "weight"), v)
+                continue
+            m = re.match(r"(layer\d)\.(\d)\.downsample\.1\.(.+)", sub)
+            if m:
+                put_bn(("feature_extractor", f"{m.group(1)}_{m.group(2)}",
+                        "downsample_1"), m.group(3), v)
+                continue
+            m = re.match(r"fc\.(\d)\.(weight|bias)", sub)
+            if m:  # replaced resnet fc: Sequential(Linear,ReLU,Linear)
+                _set(params, ("feature_extractor", f"fc_{m.group(1)}",
+                              m.group(2)), v)
+                continue
+            m = re.match(r"features\.(\d+)\.(weight|bias)", sub)
+            if m:  # alexnet conv stack
+                _set(params, ("feature_extractor", f"features_{m.group(1)}",
+                              m.group(2)), v)
+                continue
+            if sub.startswith(("avgpool", "classifier")):
+                continue  # parameter-free / unused alexnet classifier
+            raise KeyError(f"unmapped feature-extractor parameter: {key} {v.shape}")
+        m = re.match(r"feature_extractor\._fc\.(weight|bias)", key)
+        if m:  # alexnet head (feature_extractors.py:69)
+            _set(params, ("feature_extractor", "fc", m.group(1)), v)
+            continue
+
+        raise KeyError(f"unmapped ATISS parameter: {key} {v.shape}")
+
+    return params, batch_stats
+
+
 def load_torch_checkpoint(path: str, max_cats: int = 13):
     """Load a reference ``.pt`` checkpoint file (requires torch on host)."""
     import torch
