@@ -12,9 +12,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_cli(args, timeout=420):
-    env = dict(os.environ)
+    from conftest import cli_env
+
     return subprocess.run(
-        [sys.executable, "-m"] + args, cwd=REPO, env=env,
+        [sys.executable, "-m"] + args, cwd=REPO, env=cli_env(),
         capture_output=True, text=True, timeout=timeout,
     )
 
