@@ -117,3 +117,66 @@ def test_npy_native_batch(tmp_path, rng):
     out = npy_native.load_batch(paths, 24)
     for i, a in enumerate(arrays):
         np.testing.assert_array_equal(out[i].reshape(8, 3), a)
+
+
+def _legacy_layout(tmp_path, rng, T=120, V=16, walk=True):
+    for sub in ("semantics", "vertices_can", "vertices"):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+    for s in range(2):
+        verts = rng.randn(T, V, 3).astype(np.float32) * 0.05
+        if walk:  # drifting xy centroid so dist_eps segmentation triggers
+            verts[:, :, 0] += np.linspace(0, 4.0, T)[:, None]
+        np.save(tmp_path / "vertices" / f"s{s}_verts.npy", verts)
+        np.save(tmp_path / "vertices_can" / f"s{s}_verts_can.npy",
+                rng.randn(T, V, 3).astype(np.float32))
+        np.save(tmp_path / "semantics" / f"s{s}_cfs.npy",
+                rng.randint(0, 8, (T, V)))
+    return T, V
+
+
+def test_prox_seg_dataset(tmp_path, rng):
+    from lsdm_tpu.data.contact_dataset import ProxSegDataset
+
+    T, V = _legacy_layout(tmp_path, rng)
+    ds = ProxSegDataset(str(tmp_path), train_seg_len=8, jump_step=2)
+    assert len(ds) == 2 * T // 8
+    vc, cs = ds[0]
+    assert vc.shape == (8, V, 3)
+    assert cs.shape == (8, V, 8)
+    assert np.allclose(cs.sum(-1), 1.0)
+
+
+def test_prox_seg_dataset_seq(tmp_path, rng):
+    from lsdm_tpu.data.contact_dataset import ProxSegDatasetSeq
+
+    T, V = _legacy_layout(tmp_path, rng)
+    ds = ProxSegDatasetSeq(str(tmp_path), train_seg_len=8, num_seg=3,
+                           stride=8, jump_step=2)
+    vc, cs = ds[0]
+    assert vc.shape == (3, 8, V, 3)
+    assert cs.shape == (3, 8, V, 8)
+    # consecutive segments stride by stride*jump_step in the source frames;
+    # with stride == train_seg_len they tile a contiguous strided window
+    assert np.allclose(cs.reshape(3 * 8, V, 8).sum(-1), 1.0)
+
+
+def test_prox_seg_dataset_var(tmp_path, rng):
+    from lsdm_tpu.data.contact_dataset import ProxSegDatasetVar
+
+    T, V = _legacy_layout(tmp_path, rng)
+    ds = ProxSegDatasetVar(str(tmp_path), max_frame=16, num_seg=4,
+                           dist_eps=0.5, jump_step=2)
+    vc, cs, m = ds[0]
+    assert vc.shape == (4, 16, V, 3)
+    assert cs.shape == (4, 16, V, 8)
+    assert m.shape == (4, 16)
+    # at least one non-empty variable-length segment; masks are prefixes
+    assert m.sum() > 0
+    for row in m:
+        n = int(row.sum())
+        assert np.all(row[:n] == 1) and np.all(row[n:] == 0)
+    # padded frames are zeroed
+    assert np.allclose(vc[m == 0], 0)
+    # the walking motion makes segments end before max_frame (variable length)
+    lengths = m.sum(-1)
+    assert np.any((lengths > 0) & (lengths < 16))
