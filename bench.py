@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="denoiser compute dtype (params stay fp32)")
+    ap.add_argument("--no_baseline", action="store_true",
+                    help="skip the host-loop baseline (vs_baseline=0); "
+                         "useful for batched-throughput rows where only "
+                         "ours matters")
     args = ap.parse_args()
 
     import jax
@@ -111,6 +115,35 @@ def main():
         float(sample(jax.random.PRNGKey(2 + r)))
         best = min(best, time.perf_counter() - t0)
     ours_steps_per_sec = T / best
+
+    # Secondary datapoints (stderr; stdout stays one JSON line): per-scene
+    # wall time and XLA-estimated FLOP throughput — how loaded the chip is
+    # at this batch size (VERDICT r01 item 6).  cost_analysis comes from the
+    # local lowering (no second device compile).
+    try:
+        ca = jax.jit(sample).lower(jax.random.PRNGKey(1)).cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        total_flops = float(ca.get("flops", 0.0))
+    except Exception:
+        total_flops = 0.0
+    print(
+        f"[bench] batch={args.batch} dtype={args.dtype} T={T}: "
+        f"scene_wall={best * 1e3:.1f} ms, {ours_steps_per_sec:.1f} steps/s, "
+        f"sampled_scenes/s={args.batch / best:.2f}"
+        + (f", est {total_flops / best / 1e12:.3f} TFLOP/s "
+           f"({total_flops / T / args.batch / 1e9:.2f} GFLOP/step/scene)"
+           if total_flops else ""),
+        file=sys.stderr,
+    )
+
+    if args.no_baseline:
+        print(json.dumps({
+            "metric": "ddpm_steps_per_sec",
+            "value": round(ours_steps_per_sec, 3),
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     # ---- reference execution model: host loop of single jitted steps
     @jax.jit
