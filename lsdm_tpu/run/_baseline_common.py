@@ -212,7 +212,20 @@ def eval_baseline(args, kind: str):
         jax.random.PRNGKey(0), boxes_from_batch(b0, input_dims, contact)
     )
     state = create_train_state(variables, make_optimizer())
-    if args.load_model:
+    if args.load_model and args.load_model.endswith(".pt"):
+        # reference torch checkpoint ({'model_state_dict': ...},
+        # run/train_atiss.py:333); needs --feature_extractor resnet18 and
+        # --torch_seq_axis_quirk for faithful eval of LSDM-trained baselines
+        import torch
+
+        ckpt = torch.load(args.load_model, map_location="cpu",
+                          weights_only=False)
+        sd = ckpt.get("model_state_dict", ckpt)
+        params, batch_stats = ckpt_lib.convert_atiss_state_dict(
+            {k: v.detach().cpu().numpy() for k, v in sd.items()})
+        state = state.replace(params=params, batch_stats=batch_stats)
+        print(f"converted torch checkpoint {args.load_model}")
+    elif args.load_model:
         state, extra = ckpt_lib.load(args.load_model, state)
         print(f"loaded {args.load_model}: {extra}")
 

@@ -17,6 +17,7 @@ Replicated reference quirks under test:
   * AlexNet's channel-major flatten (``feature_extractors.py:74``).
 """
 
+import os
 import numpy as np
 import pytest
 import jax
@@ -520,3 +521,63 @@ def test_distribution_translations_shapes():
         np.testing.assert_allclose(np.asarray(jnp.sum(probs, -1)), 1.0,
                                    atol=1e-6)
         assert bool(jnp.all(scales > 0.0))  # elu(x) + 1.0001 > 0
+
+
+def test_generate_scenes_cli(tmp_path):
+    """e2e: init a tiny-ish model, save a checkpoint, run the generation CLI,
+    check the scene npz contract (incl. complete_from)."""
+    import subprocess
+    import sys
+
+    from conftest import cli_env
+    from lsdm_tpu import config as cfg_lib
+    from lsdm_tpu.run._baseline_common import build_model
+    from lsdm_tpu.train import checkpoint as ckpt_lib
+    from lsdm_tpu.train.state import create_train_state, make_optimizer
+
+    num_cats = cfg_lib.num_cats_for("proxd")
+    model, input_dims = build_model("atiss", num_cats)
+    boxes0 = A._empty_boxes(1, 2, input_dims, False)
+    boxes0["room_layout"] = jnp.ones((1, 1, 64, 64))
+    boxes0.update({
+        "class_labels_tr": jnp.ones((1, 1, input_dims)),
+        "translations_tr": jnp.ones((1, 1, 3)),
+        "sizes_tr": jnp.ones((1, 1, 3)),
+        "angles_tr": jnp.ones((1, 1, 1)),
+    })
+    variables = model.init(jax.random.PRNGKey(0), boxes0)
+    state = create_train_state(variables, make_optimizer())
+    ckpt = str(tmp_path / "m.ckpt")
+    ckpt_lib.save(ckpt, state)
+
+    out = str(tmp_path / "scenes")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "lsdm_tpu.run.generate_scenes",
+         "--load_model", ckpt, "--n_scenes", "2", "--max_boxes", "5",
+         "--output_dir", out, "--platform", "cpu"],
+        cwd=repo, env=cli_env(), capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = np.load(os.path.join(out, "scene_0000.npz"))
+    assert d["class_labels"].shape == (5, input_dims)
+    assert 1 <= int(d["count"]) <= 5
+    n = int(d["valid_mask"].sum())
+    assert n == int(d["count"])
+
+    # complete_from: keep 1 given box, append up to 3
+    np.savez(tmp_path / "partial.npz",
+             class_labels=np.asarray(d["class_labels"][:1]),
+             translations=np.asarray(d["translations"][:1]),
+             sizes=np.asarray(d["sizes"][:1]),
+             angles=np.asarray(d["angles"][:1]))
+    out2 = str(tmp_path / "scenes2")
+    r = subprocess.run(
+        [sys.executable, "-m", "lsdm_tpu.run.generate_scenes",
+         "--load_model", ckpt, "--n_scenes", "1", "--max_boxes", "3",
+         "--complete_from", str(tmp_path / "partial.npz"),
+         "--output_dir", out2, "--platform", "cpu"],
+        cwd=repo, env=cli_env(), capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    d2 = np.load(os.path.join(out2, "scene_0000.npz"))
+    assert d2["class_labels"].shape == (4, input_dims)  # 1 given + 3 slots
+    np.testing.assert_allclose(d2["translations"][0], d["translations"][0])
