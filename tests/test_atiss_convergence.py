@@ -1,6 +1,10 @@
 """ATISS baseline training sanity: the MSE+CE objective overfits one batch."""
 
 import jax
+
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 import numpy as np
 import optax

@@ -20,6 +20,8 @@ Replicated reference quirks under test:
 import os
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -21,6 +21,8 @@ Determinism notes:
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

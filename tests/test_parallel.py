@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from lsdm_tpu.config import SDMConfig
 from lsdm_tpu.diffusion import make_schedule
 from lsdm_tpu.models.sdm import SceneDiffusionModel

@@ -1,6 +1,10 @@
 """End-to-end training sanity: a tiny SDM overfits one fixed batch."""
 
 import jax
+
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 import numpy as np
 
