@@ -65,6 +65,13 @@ def p_sample_step(
     return sample, pred_xstart, model_out
 
 
+def _abstract_zeros(model_fn, x, t):
+    """A zeros pytree shaped like ``model_fn(x, t)`` (no device compute;
+    used to seed the last-output carry slot of the sampling scans)."""
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                        jax.eval_shape(model_fn, x, t))
+
+
 def p_sample_loop(
     schedule: Schedule,
     model_fn: DenoiseFn,
@@ -97,17 +104,22 @@ def p_sample_loop(
         img = q_sample(schedule, init_image, my_t, img)
 
     def body(carry, i):
-        x, k = carry
+        x, k, _ = carry
         t = jnp.full((shape[0],), start_t - 1 - i, jnp.int32)
         step_key = jax.random.fold_in(k, i)
         sample, pred_xstart, model_out = p_sample_step(
             schedule, model_fn, x, t, step_key,
             clip_denoised=clip_denoised, const_noise=const_noise,
         )
-        return (sample, k), model_out
+        return (sample, k, model_out), None
 
-    (final, _), outs = jax.lax.scan(body, (img, key), jnp.arange(start_t))
-    last_out = jax.tree.map(lambda a: a[-1], outs)
+    # Thread the last model output through the CARRY — stacking per-step
+    # outputs and indexing [-1] costs T x |output| HBM writes and O(T·B·N)
+    # memory (OOMs at batch 32 on one chip).
+    out0 = _abstract_zeros(model_fn, img,
+                           jnp.full((shape[0],), start_t - 1, jnp.int32))
+    (final, _, last_out), _ = jax.lax.scan(body, (img, key, out0),
+                                           jnp.arange(start_t))
     return final, last_out
 
 
@@ -159,16 +171,16 @@ def ddim_sample_loop(
     img = jax.random.normal(init_key, shape, jnp.float32) if noise is None else noise
 
     def body(carry, i):
-        x, k = carry
+        x, k, _ = carry
         t = jnp.full((shape[0],), T - 1 - i, jnp.int32)
         step_key = jax.random.fold_in(k, i)
         sample, pred_xstart, model_out = ddim_sample_step(
             schedule, model_fn, x, t, step_key, clip_denoised=clip_denoised, eta=eta
         )
-        return (sample, k), model_out
+        return (sample, k, model_out), None
 
-    (final, _), outs = jax.lax.scan(body, (img, key), jnp.arange(T))
-    last_out = jax.tree.map(lambda a: a[-1], outs)
+    out0 = _abstract_zeros(model_fn, img, jnp.full((shape[0],), T - 1, jnp.int32))
+    (final, _, last_out), _ = jax.lax.scan(body, (img, key, out0), jnp.arange(T))
     return final, last_out
 
 
@@ -223,7 +235,7 @@ def plms_sample_loop(
         return jax.lax.switch(jnp.clip(cur - 1, 0, order - 1), fns, None)
 
     def body(carry, i):
-        x, hist, n_valid, k = carry
+        x, hist, n_valid, k, _ = carry
         t = jnp.full((shape[0],), T - 1 - i, jnp.int32)
         eps, pred_xstart, model_out = model_eps(x, t)
         nd = x.ndim
@@ -253,11 +265,12 @@ def plms_sample_loop(
         nzm = _nonzero_mask(t, nd)
         sample = mean_pred * nzm + pred_xstart * (1 - nzm)
         new_hist = jnp.concatenate([eps[None], hist[:-1]], axis=0)
-        return (sample, new_hist, jnp.minimum(n_valid + 1, order), k), model_out
+        return (sample, new_hist, jnp.minimum(n_valid + 1, order), k,
+                model_out), None
 
     hist0 = jnp.zeros((max(order - 1, 1),) + tuple(shape), jnp.float32)
-    (final, _, _, _), outs = jax.lax.scan(
-        body, (img, hist0, jnp.int32(0), key), jnp.arange(T)
+    out0 = _abstract_zeros(model_fn, img, jnp.full((shape[0],), T - 1, jnp.int32))
+    (final, _, _, _, last_out), _ = jax.lax.scan(
+        body, (img, hist0, jnp.int32(0), key, out0), jnp.arange(T)
     )
-    last_out = jax.tree.map(lambda a: a[-1], outs)
     return final, last_out
