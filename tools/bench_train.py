@@ -1,0 +1,115 @@
+"""Training-step throughput at the reference parity configuration.
+
+The reference reports wall-clock seconds per epoch on one GPU at batch 6
+(``run/train_sdm.py:296-299``, BASELINE.md row "Training throughput");
+this measures the same unit of work — full SceneDiffusionModel forward +
+backward + AdamW update at batch 6, 9x1024 points — on one chip.
+
+Timings amortize dispatch latency over ``--chunk`` scanned steps (axon
+per-dispatch latency is ~28 ms and ``block_until_ready`` is unreliable —
+see PERF.md measurement notes).
+
+Prints one line:
+  train_steps_per_sec=<N> scenes_per_sec=<N> step_ms=<N>
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=6)
+    ap.add_argument("--chunk", type=int, default=20,
+                    help="steps per timed device dispatch")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    from lsdm_tpu import config as cfg_lib
+    from lsdm_tpu.config import SDMConfig
+    from lsdm_tpu.diffusion import make_schedule
+    from lsdm_tpu.models.sdm import SceneDiffusionModel
+    from lsdm_tpu.train.state import TrainState, create_train_state
+    from lsdm_tpu.train.trainer import make_train_step
+
+    if args.smoke:
+        cfg = SDMConfig(clip_dim=32, latent_dim=16, cat_emb=8, n_head=4,
+                        vert_dims=24, pcd_points=32)
+    else:
+        cfg = cfg_lib.sdm_proxd()
+    cfg = dataclasses.replace(cfg, dtype=args.dtype)
+
+    B, O, N = args.batch, cfg.max_objs, cfg.pcd_points
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    mask = jnp.zeros((B, O)).at[:, 1:5].set(1.0)
+    objs = jax.random.normal(ks[0], (B, O, N, 3))
+    cats = jax.nn.one_hot(
+        jax.random.randint(ks[1], (B, O), 0, cfg.max_cats), cfg.max_cats)
+    target = jax.random.normal(ks[2], (B, N, 3))
+    target_cat = jax.nn.one_hot(
+        jax.random.randint(ks[3], (B,), 0, cfg.max_cats), cfg.max_cats)
+    text = jax.random.normal(ks[4], (B, cfg.clip_dim))
+
+    model = SceneDiffusionModel(cfg)
+    variables = model.init(ks[5], target, mask, jnp.zeros((B,), jnp.int32),
+                           objs, cats, text)
+    tx = optax.adamw(1e-4)
+    state = create_train_state(variables, tx)
+    schedule = make_schedule("cosine", 20 if args.smoke else 1000)
+    step = make_train_step(model, schedule, tx)
+
+    # Chunked: `chunk` sequential train steps per device dispatch, so the
+    # tunnel's dispatch latency amortizes (utils/profiling.py rationale).
+    @jax.jit
+    def chunked(state, key):
+        def body(carry, i):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, metrics = step.__wrapped__(st, mask, objs, cats, target,
+                                           target_cat, text, sub)
+            return (st, k), metrics["loss"]
+
+        (state, _), losses = jax.lax.scan(
+            body, (state, key), jnp.arange(args.chunk))
+        return state, jnp.sum(losses)
+
+    state, s = chunked(state, jax.random.PRNGKey(1))
+    float(s)  # compile + execute + host sync
+    best = float("inf")
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        state, s = chunked(state, jax.random.PRNGKey(2 + r))
+        float(s)
+        best = min(best, time.perf_counter() - t0)
+    sps = args.chunk / best
+    print(f"train_steps_per_sec={sps:.2f} scenes_per_sec={sps * B:.1f} "
+          f"step_ms={1e3 / sps:.1f} (batch={B}, dtype={args.dtype})")
+
+
+if __name__ == "__main__":
+    main()
