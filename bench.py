@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="denoiser compute dtype (params stay fp32)")
+    ap.add_argument("--cond_chunk", type=int, default=None,
+                    help="encode conditioning in batch chunks of this size "
+                         "(caps the PointNet++ activation peak; see "
+                         "models/sampling.py)")
     ap.add_argument("--no_baseline", action="store_true",
                     help="skip the host-loop baseline (vs_baseline=0); "
                          "useful for batched-throughput rows where only "
@@ -105,7 +109,8 @@ def main():
     @jax.jit
     def sample(key):
         s, _ = sample_sdm(model, variables, schedule, mask, objs, cats, text,
-                          key, clip_denoised=False)
+                          key, clip_denoised=False,
+                          cond_chunk=args.cond_chunk)
         return jnp.sum(s)
 
     float(sample(jax.random.PRNGKey(1)))  # compile + execute

@@ -30,14 +30,33 @@ def sample_sdm(
     clip_denoised: bool = False,
     use_ddim: bool = False,
     timestep_map: Optional[jax.Array] = None,
+    cond_chunk: Optional[int] = None,
 ):
-    """Returns (sample (B, N, 3), last DenoiserOutput).  Jit-safe."""
+    """Returns (sample (B, N, 3), last DenoiserOutput).  Jit-safe.
+
+    ``cond_chunk``: encode the conditioning in sequential batch chunks of
+    this size (``lax.map``).  The PointNet++ grouped activations peak at
+    ~470 MB/scene ((B*O, N, K, C) buffers), which exhausts one chip's HBM
+    near batch 32 fp32; conditioning is one-time per sample and amortizes
+    over the T-step scan, so chunking costs almost no wall time.
+    """
     B = given_objs.shape[0]
     N = given_objs.shape[2]
-    cond = model.apply(
-        variables, mask, given_objs, given_cats, text_emb,
-        method=model.encode_conditioning,
-    )
+
+    def enc(m, o, c, t):
+        return model.apply(variables, m, o, c, t,
+                           method=model.encode_conditioning)
+
+    if cond_chunk and B > cond_chunk and B % cond_chunk == 0:
+        parts = jax.tree.map(
+            lambda a: a.reshape((B // cond_chunk, cond_chunk) + a.shape[1:]),
+            (mask, given_objs, given_cats, text_emb),
+        )
+        cond = jax.lax.map(lambda args: enc(*args), parts)
+        cond = jax.tree.map(
+            lambda a: a.reshape((B,) + a.shape[2:]), cond)
+    else:
+        cond = enc(mask, given_objs, given_cats, text_emb)
 
     def model_fn(x_t, tt):
         t_model = timestep_map[tt] if timestep_map is not None else tt

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--platform", default=None, help="force a jax platform")
     ap.add_argument("--pcd_points", type=int, default=None,
                     help="override cloud size (e.g. tiny smoke runs)")
+    ap.add_argument("--cond_chunk", type=int, default=None,
+                    help="encode conditioning in batch chunks (memory cap, "
+                         "models/sampling.py)")
     args = ap.parse_args()
 
     import jax
@@ -140,6 +143,7 @@ def main():
             mask, objs, cats, text_emb, key,
             clip_denoised=False, use_ddim=args.use_ddim,
             timestep_map=schedule.timestep_map if args.timestep_respacing else None,
+            cond_chunk=args.cond_chunk,
         )
         return sample, last.cat, last.guiding
 

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lsdm_tpu.config import SDMConfig
-from lsdm_tpu.diffusion import spaced_schedule
+from lsdm_tpu.diffusion import make_schedule, spaced_schedule
 from lsdm_tpu.models.sampling import sample_sdm
 from lsdm_tpu.models.sdm import SceneDiffusionModel
 
@@ -38,3 +38,28 @@ def test_sample_sdm_with_respacing():
     assert sample.shape == (B, N, 3)
     assert np.isfinite(np.asarray(sample)).all()
     assert last.cat.shape == (B, 1, 13)
+
+
+def test_cond_chunk_bit_equality():
+    """Chunked conditioning encode (memory cap, models/sampling.py) matches
+    the unchunked path: same math per scene; only XLA's batch tiling (and
+    hence fp accumulation order) differs."""
+    model = SceneDiffusionModel(TINY)
+    B4 = 4
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    mask = jnp.zeros((B4, O)).at[:, 1:3].set(1.0)
+    objs = jax.random.normal(ks[1], (B4, O, N, 3))
+    cats = jax.nn.one_hot(jnp.zeros((B4, O), jnp.int32), 13)
+    text = jax.random.normal(ks[3], (B4, TINY.clip_dim))
+    x = jax.random.normal(ks[0], (B4, N, 3))
+    variables = model.init(ks[4], x, mask, jnp.zeros((B4,), jnp.int32), objs,
+                           cats, text)
+    sched = make_schedule("cosine", 8)
+    a, la = sample_sdm(model, variables, sched, mask, objs, cats, text,
+                       jax.random.PRNGKey(9), clip_denoised=False)
+    b, lb = sample_sdm(model, variables, sched, mask, objs, cats, text,
+                       jax.random.PRNGKey(9), clip_denoised=False,
+                       cond_chunk=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(la.cat), np.asarray(lb.cat),
+                               atol=5e-3)
