@@ -91,8 +91,10 @@ def main():
     text = jax.random.normal(ks[3], (B, cfg.clip_dim))
 
     model = SceneDiffusionModel(cfg)
-    variables = model.init(ks[4], x, mask, jnp.zeros((B,), jnp.int32), objs,
-                           cats, text)
+    # init at batch 1: params are batch-independent and a full-batch init
+    # forward would pay the whole conditioning-activation peak up front
+    variables = model.init(ks[4], x[:1], mask[:1], jnp.zeros((1,), jnp.int32),
+                           objs[:1], cats[:1], text[:1])
     schedule = make_schedule("cosine", T)
 
     def model_fn(x_t, tt):

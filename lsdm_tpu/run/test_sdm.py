@@ -114,11 +114,14 @@ def main():
     # --- load weights
     b0 = next(iter(loader))
     text0 = jnp.asarray(text_encoder.encode(b0.text))
+    # init at batch 1 (params are batch-independent; a full-batch init
+    # forward pays the whole conditioning-activation peak for nothing)
     variables = model.init(
         jax.random.PRNGKey(0),
-        jnp.asarray(b0.target_verts), jnp.asarray(b0.mask),
-        jnp.zeros((b0.mask.shape[0],), jnp.int32),
-        jnp.asarray(b0.given_objs), jnp.asarray(b0.given_cats), text0,
+        jnp.asarray(b0.target_verts[:1]), jnp.asarray(b0.mask[:1]),
+        jnp.zeros((1,), jnp.int32),
+        jnp.asarray(b0.given_objs[:1]), jnp.asarray(b0.given_cats[:1]),
+        text0[:1],
     )
     tx = make_optimizer()
     state = create_train_state(variables, tx)
