@@ -13,9 +13,10 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from lsdm_tpu.diffusion.sampler import ddim_sample_loop, p_sample_loop
-from lsdm_tpu.models.sdm import SceneDiffusionModel
+from lsdm_tpu.models.sdm import DenoiserOutput, SceneDiffusionModel
 
 
 def sample_sdm(
@@ -31,6 +32,7 @@ def sample_sdm(
     use_ddim: bool = False,
     timestep_map: Optional[jax.Array] = None,
     cond_chunk: Optional[int] = None,
+    precompute_emb: Optional[bool] = None,
 ):
     """Returns (sample (B, N, 3), last DenoiserOutput).  Jit-safe.
 
@@ -58,10 +60,46 @@ def sample_sdm(
     else:
         cond = enc(mask, given_objs, given_cats, text_emb)
 
+    # --- timestep-embedding table (default when it fits): the fused
+    # (timestep, text) embedding chain and the guiding points are
+    # x_t-INDEPENDENT (sdm.py:timestep_cond_emb/guiding_from_emb), so the
+    # per-step body shrinks to add-cond + in/out point MLPs.  The table is
+    # (T, B, N, D); auto-enabled under ~600 MB (its build transient is ~2x).
+    T = schedule.num_timesteps
+    ts_model = (timestep_map if timestep_map is not None
+                else jnp.arange(T, dtype=jnp.int32))
+    emb_shape = jax.eval_shape(
+        lambda t: model.apply(variables, cond, t,
+                              method=model.timestep_cond_emb),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+    )
+    table_bytes = T * emb_shape.size * emb_shape.dtype.itemsize
+    if precompute_emb is None:
+        precompute_emb = table_bytes <= 600e6
+
+    loop = ddim_sample_loop if use_ddim else p_sample_loop
+
+    if precompute_emb:
+        emb_table = jax.vmap(
+            lambda tt: model.apply(variables, cond, jnp.full((B,), tt),
+                                   method=model.timestep_cond_emb)
+        )(ts_model)  # (T, B, N, D)
+        # only the FINAL step's guiding/cat are consumed (sampler returns
+        # last_out); t=0 is always the last step of every loop here
+        guiding = model.apply(variables, cond, emb_table[0],
+                              method=model.guiding_from_emb)
+
+        def model_fn(x_t, tt):
+            x0 = model.apply(variables, cond, emb_table[tt[0]], x_t,
+                             method=model.denoise_with_emb)
+            return DenoiserOutput(x0=x0, cat=cond.out_cat, guiding=guiding)
+
+        return loop(schedule, model_fn, (B, N, 3), key,
+                    clip_denoised=clip_denoised)
+
     def model_fn(x_t, tt):
         t_model = timestep_map[tt] if timestep_map is not None else tt
         return model.apply(variables, cond, x_t, t_model,
                            method=model.denoise_from_cond)
 
-    loop = ddim_sample_loop if use_ddim else p_sample_loop
     return loop(schedule, model_fn, (B, N, 3), key, clip_denoised=clip_denoised)

@@ -200,6 +200,34 @@ class SceneDiffusionModel(nn.Module):
         return CondCache(enc_text=enc_text, out_cat=out_cat, cond_pcd=cond_pcd)
 
     # ------------------------------------------------------------------
+    def timestep_cond_emb(self, cond: CondCache, timesteps: jax.Array
+                          ) -> jax.Array:
+        """Per-point fused (timestep, text) embedding — depends only on
+        ``(t, cond.enc_text)``, NOT on x_t (reference :141-142 timestep emb,
+        :164-167 upsampling fuse).  Samplers exploit this by precomputing a
+        (T, B, N, D) table outside the scan (``models/sampling.py``)."""
+        emb_ts = self.embed_timestep(timesteps)  # (B, 1, D)
+        emb = jnp.concatenate([emb_ts, cond.enc_text], axis=-1)  # (B, 1, 2D)
+        emb = jnp.transpose(emb, (0, 2, 1))  # (B, 2D, 1)
+        emb = self.upsampling_layer(emb)  # (B, 2D, N)
+        emb = jnp.transpose(emb, (0, 2, 1))  # (B, N, 2D)
+        return self.combine_extraction(emb)  # (B, N, D)
+
+    def denoise_with_emb(self, cond: CondCache, emb: jax.Array, x: jax.Array
+                         ) -> jax.Array:
+        """x_t-dependent core (reference :204-212): the only work that truly
+        belongs inside the sampling loop."""
+        x = x + cond.cond_pcd  # (reference :204)
+        return self.output_process(self.input_process(x, emb)).astype(
+            jnp.float32)
+
+    def guiding_from_emb(self, cond: CondCache, emb: jax.Array) -> jax.Array:
+        """Guiding points (reference :213-217) — x_t-independent: in the
+        sampler, only the final step's value is consumed, so it is computed
+        once outside the loop."""
+        return self.output_process(
+            self.input_process(cond.cond_pcd, emb)).astype(jnp.float32)
+
     def denoise_from_cond(
         self,
         cond: CondCache,
@@ -209,24 +237,11 @@ class SceneDiffusionModel(nn.Module):
         """The t/x_t-dependent tail: reference :141-142 (timestep emb),
         :164-167 (upsampling fuse), :204-217 (x += cond; in/out process;
         guiding points)."""
-        cfg = self.cfg
-        B = x.shape[0]
-
-        emb_ts = self.embed_timestep(timesteps)  # (B, 1, D)
-        emb = jnp.concatenate([emb_ts, cond.enc_text], axis=-1)  # (B, 1, 2D)
-        emb = jnp.transpose(emb, (0, 2, 1))  # (B, 2D, 1)
-        emb = self.upsampling_layer(emb)  # (B, 2D, N)
-        emb = jnp.transpose(emb, (0, 2, 1))  # (B, N, 2D)
-        emb = self.combine_extraction(emb)  # (B, N, D)
-
-        x = x + cond.cond_pcd  # (reference :204)
-        x = self.output_process(self.input_process(x, emb))
-        guiding = self.output_process(self.input_process(cond.cond_pcd, emb))
-
+        emb = self.timestep_cond_emb(cond, timesteps)
         return DenoiserOutput(
-            x0=x.astype(jnp.float32),
+            x0=self.denoise_with_emb(cond, emb, x),
             cat=cond.out_cat,
-            guiding=guiding.astype(jnp.float32),
+            guiding=self.guiding_from_emb(cond, emb),
         )
 
     # ------------------------------------------------------------------

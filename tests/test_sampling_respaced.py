@@ -63,3 +63,42 @@ def test_cond_chunk_bit_equality():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
     np.testing.assert_allclose(np.asarray(la.cat), np.asarray(lb.cat),
                                atol=5e-3)
+
+
+def test_precomputed_emb_table_bit_equality():
+    """The timestep-embedding-table fast path (models/sampling.py) must be
+    numerically identical (to float-noise ulps) to the per-step recompute
+    path: same ops on the same values, just hoisted out of the scan."""
+    model = SceneDiffusionModel(TINY)
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    mask = jnp.zeros((B, O)).at[:, 1:3].set(1.0)
+    objs = jax.random.normal(ks[1], (B, O, N, 3))
+    cats = jax.nn.one_hot(jnp.zeros((B, O), jnp.int32), 13)
+    text = jax.random.normal(ks[3], (B, TINY.clip_dim))
+    x = jax.random.normal(ks[0], (B, N, 3))
+    variables = model.init(ks[4], x, mask, jnp.zeros((B,), jnp.int32), objs,
+                           cats, text)
+    sched = make_schedule("cosine", 16)
+    a, la = sample_sdm(model, variables, sched, mask, objs, cats, text,
+                       jax.random.PRNGKey(9), clip_denoised=False,
+                       precompute_emb=False)
+    b, lb = sample_sdm(model, variables, sched, mask, objs, cats, text,
+                       jax.random.PRNGKey(9), clip_denoised=False,
+                       precompute_emb=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(la.cat), np.asarray(lb.cat))
+    np.testing.assert_allclose(np.asarray(la.guiding), np.asarray(lb.guiding),
+                               atol=1e-6)
+    # respaced DDIM fast path too
+    rs = spaced_schedule("cosine", 16, "ddim4")
+    c, _ = sample_sdm(model, variables, rs, mask, objs, cats, text,
+                      jax.random.PRNGKey(9), clip_denoised=False,
+                      use_ddim=True, timestep_map=rs.timestep_map,
+                      precompute_emb=False)
+    d, _ = sample_sdm(model, variables, rs, mask, objs, cats, text,
+                      jax.random.PRNGKey(9), clip_denoised=False,
+                      use_ddim=True, timestep_map=rs.timestep_map,
+                      precompute_emb=True)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d), rtol=1e-6,
+                               atol=1e-6)
