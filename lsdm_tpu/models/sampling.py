@@ -80,10 +80,23 @@ def sample_sdm(
     loop = ddim_sample_loop if use_ddim else p_sample_loop
 
     if precompute_emb:
-        emb_table = jax.vmap(
-            lambda tt: model.apply(variables, cond, jnp.full((B,), tt),
-                                   method=model.timestep_cond_emb)
-        )(ts_model)  # (T, B, N, D)
+        # Chunked build: one fully-vmapped (T, ...) program makes XLA hold
+        # dozens of (T, 2D, N) element-wise temps live at once (47 GB at
+        # T=1000 full size, measured); lax.map over 50-step chunks bounds
+        # the transient to chunk-sized buffers.
+        chunk = 50
+        padded = -(-T // chunk) * chunk
+        ts_pad = jnp.concatenate(
+            [ts_model, jnp.zeros((padded - T,), ts_model.dtype)])
+
+        def build(chunk_ts):
+            return jax.vmap(
+                lambda tt: model.apply(variables, cond, jnp.full((B,), tt),
+                                       method=model.timestep_cond_emb)
+            )(chunk_ts)
+
+        emb_table = jax.lax.map(build, ts_pad.reshape(-1, chunk))
+        emb_table = emb_table.reshape((padded,) + emb_table.shape[2:])[:T]
         # only the FINAL step's guiding/cat are consumed (sampler returns
         # last_out); t=0 is always the last step of every loop here
         guiding = model.apply(variables, cond, emb_table[0],
