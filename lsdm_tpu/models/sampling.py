@@ -60,22 +60,20 @@ def sample_sdm(
     else:
         cond = enc(mask, given_objs, given_cats, text_emb)
 
-    # --- timestep-embedding table (default when it fits): the fused
-    # (timestep, text) embedding chain and the guiding points are
-    # x_t-INDEPENDENT (sdm.py:timestep_cond_emb/guiding_from_emb), so the
-    # per-step body shrinks to add-cond + in/out point MLPs.  The table is
-    # (T, B, N, D); auto-enabled under ~600 MB (its build transient is ~2x).
+    # --- timestep-embedding table (opt-in): the fused (timestep, text)
+    # embedding chain and the guiding points are x_t-INDEPENDENT
+    # (sdm.py:timestep_cond_emb/guiding_from_emb), so the per-step body can
+    # shrink to add-cond + in/out point MLPs with a (T, B, N, D) table.
+    # Measured on the tunneled v5e this is a WASH at batch 1 (57.5 ms vs
+    # 56.3 ms per scene): the per-step floor is fixed per-iteration scan
+    # overhead, not the hoisted FLOPs — and the table program costs a long
+    # fresh XLA compile.  Kept opt-in for targets where per-step compute
+    # dominates (PERF.md round-2 notes).
     T = schedule.num_timesteps
     ts_model = (timestep_map if timestep_map is not None
                 else jnp.arange(T, dtype=jnp.int32))
-    emb_shape = jax.eval_shape(
-        lambda t: model.apply(variables, cond, t,
-                              method=model.timestep_cond_emb),
-        jax.ShapeDtypeStruct((B,), jnp.int32),
-    )
-    table_bytes = T * emb_shape.size * emb_shape.dtype.itemsize
     if precompute_emb is None:
-        precompute_emb = table_bytes <= 600e6
+        precompute_emb = False
 
     loop = ddim_sample_loop if use_ddim else p_sample_loop
 
