@@ -1,9 +1,11 @@
 """Render fitted scenes to frames (reference ``vis_fitting_results.py``):
 fitted objects + per-frame human mesh -> ``rendering/frame_%04d.png``.
 
-open3d's interactive window is replaced with a headless matplotlib 3D
-render (point/wireframe), which works on any machine; the scene is also
-exported as per-frame combined PLY for external viewers.
+open3d's interactive window is replaced with (a) a headless matplotlib 3D
+render (point/wireframe), (b) per-frame combined PLY for external viewers,
+and (c) ``--html``: a standalone interactive orbit viewer in one file
+(``utils/html_viewer.py``) — the interactive capability without a GUI
+environment.
 """
 
 from __future__ import annotations
@@ -22,6 +24,10 @@ def main():
     ap.add_argument("--every", type=int, default=8)
     ap.add_argument("--max_frames", type=int, default=50)
     ap.add_argument("--no_png", action="store_true", help="PLY export only")
+    ap.add_argument("--html", action="store_true",
+                    help="also write a standalone interactive scene.html "
+                         "(replaces the reference's open3d window, "
+                         "utils/html_viewer.py)")
     args = ap.parse_args()
 
     import numpy as np
@@ -75,6 +81,13 @@ def main():
             ax.view_init(elev=20, azim=45)
             fig.savefig(out_dir / f"frame_{t:04d}.png", dpi=80)
             plt.close(fig)
+    if args.html:
+        from lsdm_tpu.utils.html_viewer import write_scene_html
+
+        objects = [{"verts": v, "faces": f} for v, f in objs]
+        write_scene_html(str(out_dir / "scene.html"), frames=verts,
+                         objects=objects)
+        print(f"interactive viewer: {out_dir / 'scene.html'}")
     print(f"wrote {len(verts)} frames to {out_dir}")
 
 

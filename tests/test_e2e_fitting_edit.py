@@ -92,3 +92,34 @@ def test_scene_edit_cli_with_keyword(tmp_path, rng):
     assert "Final Chamfer distance" in results
     preds = os.listdir(os.path.join(out, "predictions"))
     assert len(preds) == 2
+
+
+def test_vis_html_viewer(tmp_path, rng):
+    """--html writes a standalone interactive viewer with a parseable
+    embedded scene payload (the open3d-window replacement)."""
+    import json
+    import re
+
+    from lsdm_tpu.fitting.meshio import write_obj
+    from lsdm_tpu.ops.spiral import grid_mesh
+
+    fit = tmp_path / "fit_best_obj" / "table" / "t0"
+    os.makedirs(fit)
+    v, f = grid_mesh(4)
+    write_obj(str(fit / "opt_best.obj"), v, f)
+    seq = rng.randn(4, 64, 3).astype(np.float32) * 0.2
+    np.save(tmp_path / "verts.npy", seq)
+
+    r = run_cli([
+        "lsdm_tpu.run.vis_fitting_results",
+        "--fitting_results_path", str(tmp_path),
+        "--vertices_path", str(tmp_path / "verts.npy"),
+        "--every", "1", "--max_frames", "4", "--no_png", "--html",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    html = (tmp_path / "rendering" / "scene.html").read_text()
+    data = json.loads(
+        re.search(r"const DATA = (\{.*?\});\nconst cv", html, re.S).group(1))
+    assert len(data["frames"]) == 4
+    assert data["objects"] and data["objects"][0]["edges"]
+    assert data["radius"] > 0
