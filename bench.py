@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="denoiser compute dtype (params stay fp32)")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="lax.scan unroll factor for the sampling loop")
     ap.add_argument("--cond_chunk", type=int, default=None,
                     help="encode conditioning in batch chunks of this size "
                          "(caps the PointNet++ activation peak; see "
@@ -112,7 +114,7 @@ def main():
     def sample(key):
         s, _ = sample_sdm(model, variables, schedule, mask, objs, cats, text,
                           key, clip_denoised=False,
-                          cond_chunk=args.cond_chunk)
+                          cond_chunk=args.cond_chunk, unroll=args.unroll)
         return jnp.sum(s)
 
     float(sample(jax.random.PRNGKey(1)))  # compile + execute

@@ -82,6 +82,7 @@ def p_sample_loop(
     const_noise: bool = False,
     skip_timesteps: int = 0,
     init_image: Optional[jax.Array] = None,
+    unroll: int = 1,
 ) -> Tuple[jax.Array, DenoiserOutput]:
     """Full DDPM sampling as one ``lax.scan``
     (replaces reference ``p_sample_loop(_progressive)``,
@@ -119,7 +120,8 @@ def p_sample_loop(
     out0 = _abstract_zeros(model_fn, img,
                            jnp.full((shape[0],), start_t - 1, jnp.int32))
     (final, _, last_out), _ = jax.lax.scan(body, (img, key, out0),
-                                           jnp.arange(start_t))
+                                           jnp.arange(start_t),
+                                           unroll=unroll)
     return final, last_out
 
 
@@ -163,6 +165,7 @@ def ddim_sample_loop(
     noise: Optional[jax.Array] = None,
     clip_denoised: bool = True,
     eta: float = 0.0,
+    unroll: int = 1,
 ) -> Tuple[jax.Array, DenoiserOutput]:
     """DDIM sampling as one scan (reference ``ddim_sample_loop``,
     ``gaussian_diffusion.py:908-1022``)."""
@@ -180,7 +183,8 @@ def ddim_sample_loop(
         return (sample, k, model_out), None
 
     out0 = _abstract_zeros(model_fn, img, jnp.full((shape[0],), T - 1, jnp.int32))
-    (final, _, last_out), _ = jax.lax.scan(body, (img, key, out0), jnp.arange(T))
+    (final, _, last_out), _ = jax.lax.scan(body, (img, key, out0),
+                                           jnp.arange(T), unroll=unroll)
     return final, last_out
 
 

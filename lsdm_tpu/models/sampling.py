@@ -33,6 +33,7 @@ def sample_sdm(
     timestep_map: Optional[jax.Array] = None,
     cond_chunk: Optional[int] = None,
     precompute_emb: Optional[bool] = None,
+    unroll: int = 1,
 ):
     """Returns (sample (B, N, 3), last DenoiserOutput).  Jit-safe.
 
@@ -106,11 +107,12 @@ def sample_sdm(
             return DenoiserOutput(x0=x0, cat=cond.out_cat, guiding=guiding)
 
         return loop(schedule, model_fn, (B, N, 3), key,
-                    clip_denoised=clip_denoised)
+                    clip_denoised=clip_denoised, unroll=unroll)
 
     def model_fn(x_t, tt):
         t_model = timestep_map[tt] if timestep_map is not None else tt
         return model.apply(variables, cond, x_t, t_model,
                            method=model.denoise_from_cond)
 
-    return loop(schedule, model_fn, (B, N, 3), key, clip_denoised=clip_denoised)
+    return loop(schedule, model_fn, (B, N, 3), key,
+                clip_denoised=clip_denoised, unroll=unroll)
