@@ -36,7 +36,7 @@ import json
 import os
 from collections import Counter, OrderedDict
 from functools import lru_cache
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import numpy as np
 

@@ -29,7 +29,7 @@ Re-design of the reference's vendored NVIDIA ATISS stack
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ batchable, mathematically equivalent.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

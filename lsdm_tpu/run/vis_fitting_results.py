@@ -11,7 +11,6 @@ environment.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 from pathlib import Path
 
