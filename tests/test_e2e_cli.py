@@ -63,3 +63,11 @@ def test_train_then_eval_cli(synth, tmp_path):
     assert arr.shape == (32, 3) and arr.dtype == np.float32
     guid = np.load(os.path.join(out, "guiding_points", preds[0]))
     assert guid.shape == (32, 3)
+
+
+def test_bench_train_smoke():
+    """tools/bench_train.py prints the throughput line (tiny config)."""
+    r = run_cli(["tools.bench_train", "--smoke", "--platform", "cpu",
+                 "--batch", "2", "--chunk", "2", "--repeats", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "train_steps_per_sec=" in r.stdout
