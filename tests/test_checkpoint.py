@@ -124,3 +124,22 @@ def test_skip_nonfinite_optimizer():
     updates, state = tx.update(good, state, params)
     new = optax.apply_updates(params, updates)
     assert not np.allclose(np.asarray(new["w"]), np.ones(3))  # applied
+
+
+def test_orbax_save_load_roundtrip(tmp_path):
+    """Orbax-backed checkpointing (the multi-host/sharded-array path,
+    train/checkpoint.py:38-56) round-trips the TrainState."""
+    state, _ = _tiny_state()
+    state = state.replace(step=jnp.asarray(11, jnp.int32))
+    path = ckpt_lib.save_orbax(str(tmp_path), state, step=11)
+    assert path.endswith("step_00000011")
+    fresh, _ = _tiny_state()
+    loaded = ckpt_lib.load_orbax(str(tmp_path), 11, fresh)
+    assert int(loaded.step) == 11
+    np.testing.assert_array_equal(
+        np.asarray(loaded.params["a"]["w"]), np.asarray(state.params["a"]["w"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.opt_state[0].mu["b"]),
+        np.asarray(state.opt_state[0].mu["b"]),
+    )

@@ -99,3 +99,42 @@ def test_sharded_equals_single_device():
     l1 = jax.tree.leaves(s1.params)[0]
     l2 = jax.tree.leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_sharded_sampling_equals_single_device():
+    """Full scanned sampling with the batch dp-sharded over the mesh matches
+    the single-device result (inference-path analogue of the sharded train
+    step tests; SURVEY.md section 2.10)."""
+    from lsdm_tpu.diffusion import make_schedule
+    from lsdm_tpu.models.sampling import sample_sdm
+    from lsdm_tpu.parallel.mesh import make_mesh, shard_batch
+
+    cfg = TINY
+    model = SceneDiffusionModel(cfg)
+    B, O, N = 8, cfg.max_objs, cfg.pcd_points
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    mask = jnp.zeros((B, O)).at[:, 1:3].set(1.0)
+    objs = jax.random.normal(ks[1], (B, O, N, 3))
+    cats = jax.nn.one_hot(jnp.zeros((B, O), jnp.int32), 13)
+    text = jax.random.normal(ks[3], (B, cfg.clip_dim))
+    x0 = jax.random.normal(ks[0], (B, N, 3))
+    variables = model.init(ks[4], x0, mask, jnp.zeros((B,), jnp.int32), objs,
+                           cats, text)
+    sched = make_schedule("cosine", 8)
+
+    def run(m, o, c, t):
+        s, last = sample_sdm(model, variables, sched, m, o, c, t,
+                             jax.random.PRNGKey(11), clip_denoised=False)
+        return s, last.cat
+
+    single, single_cat = jax.jit(run)(mask, objs, cats, text)
+
+    mesh = make_mesh((8, 1))
+    with mesh:
+        sm, so, sc, st = shard_batch(mesh, (mask, objs, cats, text))
+        sharded, sharded_cat = jax.jit(run)(sm, so, sc, st)
+
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sharded_cat), np.asarray(single_cat),
+                               atol=2e-5)
