@@ -1,32 +1,40 @@
-"""3D-FRONT dataset layer: filters, encodings, and the encoding factory.
+"""3D-FRONT dataset layer: filters, statistics, encodings.
 
-Full rebuild of the reference's dataset plumbing (host-side numpy, no
-torch):
+From-scratch design of the capability covered by the reference's vendored
+NVIDIA dataset plumbing (``atiss/scene_synthesis/datasets/{common,base,
+threed_front,threed_front_dataset,splits_builder,__init__}.py``), organized
+around three ideas the reference's decorator tower does not have:
 
-  * :class:`BaseDataset` + the composable scene filters
-    (``atiss/scene_synthesis/datasets/common.py:46-216``);
-  * :class:`ThreedFront` — raw scene container with dataset-wide bounds /
-    class statistics (``datasets/threed_front.py:22-179``);
-  * :class:`CachedRoom` / :class:`CachedThreedFrontRooms` — the preprocessed
-    ``boxes.npz`` + ``train_stats`` reader (``threed_front.py:182-329``);
-    the TPU-static training loader with baked-in wocm split lives in
-    ``threed_front.py:CachedThreedFront`` — this class is the
-    reference-shaped accessor the encoding chain composes over;
-  * the dataset-decorator encoding chain: per-property encoders, dataset
-    collection + padding collate, rotation/jitter augmentations, [-1, 1]
-    scaling, permutation, class-frequency ordering and the autoregressive
-    "WOCM" target splitter
-    (``datasets/threed_front_dataset.py:18-467``);
-  * :func:`dataset_encoding_factory`, :func:`filter_function`,
-    :func:`get_raw_dataset` / :func:`get_dataset_raw_and_encoded` /
-    :func:`get_encoded_dataset` (``threed_front_dataset.py:470-534``,
-    ``datasets/__init__.py:18-184``);
-  * the bedroom/livingroom/library category maps
-    (``datasets/base.py:9-204``; public 3D-FRONT label vocabulary).
+  1. **Filters are data.**  The reference writes one near-identical
+     filter-chain block per room type (``datasets/__init__.py:78-184``);
+     here each room type is a :class:`RoomFilterSpec` row in
+     :data:`ROOM_FILTER_SPECS` and one builder (:func:`room_filter`)
+     interprets the table.  Individual filters are free functions returning
+     ``Room -> Room | None``.
+  2. **Statistics are array reductions.**  Dataset bounds / class counts
+     come from one concatenated struct-of-arrays pass over
+     :func:`~lsdm_tpu.data.threed_front_scene.room_arrays`
+     (:meth:`ThreedFront._table`), not per-box min/max accumulator loops
+     (cf. ``threed_front.py:75-92``).
+  3. **Encodings are pure functions.**  The reference stacks 12 dataset
+     decorator classes (``threed_front_dataset.py:18-467``); here each step
+     (rotation/jitter augmentation, [-1,1] scaling, permutation,
+     autoregressive end-target append, WOCM split) is a sample->sample
+     function and :class:`EncodedRooms` folds a pipeline of them over a base
+     sample builder.  :func:`dataset_encoding_factory` assembles pipelines
+     by encoding name.
 
-Randomness: augmentation/permutation/WOCM draws go through a module-level
-``np.random`` like the reference — seed with ``np.random.seed`` for
-reproducible epochs.
+Behavioral contracts preserved (cited in place): the encoding order
+base -> order -> augment -> scale -> permute -> end-append -> WOCM-split,
+the collate padding/"lengths"/singleton-``_tr``-axis shapes, module-level
+``np.random`` draws (seed ``np.random.seed`` for reproducible epochs), the
+scalar-per-key jitter quirk, and the filter thresholds.
+
+The furniture vocabularies (category -> generic label maps) and the filter
+threshold constants are part of the public ATISS/3D-FRONT dataset contract
+and are reproduced from the reference's NVIDIA-licensed sources
+(``datasets/base.py:9-204``, ``datasets/__init__.py:78-184``) — see
+NOTICE at the repo root for attribution.
 """
 
 from __future__ import annotations
@@ -35,14 +43,26 @@ import csv
 import json
 import os
 from collections import Counter, OrderedDict
-from functools import lru_cache
-from typing import Dict, List
+from dataclasses import dataclass
+from typing import (Callable, Dict, List, Mapping, NamedTuple, Optional,
+                    Sequence, Tuple)
 
 import numpy as np
 
-from lsdm_tpu.data.threed_front_scene import Room, parse_threed_front_scenes
+from lsdm_tpu.data.threed_front_scene import (Room, box_order,
+                                              parse_threed_front_scenes,
+                                              room_arrays)
 
-# --- category maps (datasets/base.py; public 3D-FRONT label vocabulary) ---
+Sample = Dict[str, np.ndarray]
+Transform = Callable[[Sample], Sample]
+RoomFilter = Callable[[Room], Optional[Room]]
+
+#: the per-box sample keys every box-axis operation touches
+BOX_KEYS = ("class_labels", "translations", "sizes", "angles")
+
+# ---------------------------------------------------------------------------
+# furniture vocabularies (NVIDIA-derived data tables — see NOTICE;
+# reference ``datasets/base.py:9-204``)
 
 THREED_FRONT_BEDROOM_FURNITURE = {
     "desk": "desk",
@@ -115,52 +135,209 @@ THREED_FRONT_LIVINGROOM_FURNITURE = {
 THREED_FRONT_LIVINGROOM_FURNITURE["tv stand"] = "tv_stand"
 
 
-# --- splits (datasets/splits_builder.py) ---
+# ---------------------------------------------------------------------------
+# splits (capability of reference ``splits_builder.py``)
 
 
-class CSVSplitsBuilder:
-    """csv rows of (scene_id, split) -> per-split id lists
-    (``splits_builder.py:12-47``)."""
-
-    def __init__(self, train_test_splits_file: str):
-        self._file = train_test_splits_file
-        self._splits: Dict[str, List[str]] = {}
-
-    def _parse_split_file(self):
-        if not self._splits:
-            with open(self._file) as f:
-                data = [row for row in csv.reader(f)]
-            for s in ("train", "test", "val"):
-                self._splits[s] = [r[0] for r in data if r[1] == s]
-        return self._splits
-
-    def train_split(self):
-        return self._parse_split_file()["train"]
-
-    def test_split(self):
-        return self._parse_split_file()["test"]
-
-    def val_split(self):
-        return self._parse_split_file()["val"]
-
-    def get_splits(self, keep_splits=("train", "val")):
-        if isinstance(keep_splits, str):
-            keep_splits = [keep_splits]
-        s: List[str] = []
-        for ks in keep_splits:
-            s.extend(self._parse_split_file()[ks])
-        return s
+def read_splits(annotation_csv: str,
+                keep=("train", "val")) -> List[str]:
+    """Scene ids of the kept splits from a (scene_id, split) csv."""
+    if isinstance(keep, str):
+        keep = (keep,)
+    with open(annotation_csv) as f:
+        rows = [r for r in csv.reader(f) if len(r) >= 2]
+    wanted = set(keep)
+    return [r[0] for r in rows if r[1] in wanted]
 
 
-# --- base dataset + filters (datasets/common.py:46-216) ---
+# ---------------------------------------------------------------------------
+# room filters: free functions returning Room -> Room | None
 
 
-class BaseDataset:
-    """Scene-list dataset with composable filters."""
+def keep_if(pred: Callable[[Room], bool]) -> RoomFilter:
+    return lambda room: room if pred(room) else None
 
-    def __init__(self, scenes):
+
+def room_type_contains(token: str) -> RoomFilter:
+    return keep_if(lambda r: token in r.scene_type)
+
+
+def at_least_boxes(n: int) -> RoomFilter:
+    return keep_if(lambda r: len(r.bboxes) >= n)
+
+
+def at_most_boxes(n: int) -> RoomFilter:
+    return keep_if(lambda r: len(r.bboxes) <= n)
+
+
+def labels_within(vocab) -> RoomFilter:
+    return keep_if(lambda r: all(b.label in vocab for b in r.bboxes))
+
+
+def contains_any_label(labels) -> RoomFilter:
+    wanted = set(labels)
+    return keep_if(lambda r: any(b.label in wanted for b in r.bboxes))
+
+
+def keep_scene_ids(ids) -> RoomFilter:
+    ids = set(ids)
+    return keep_if(lambda r: r.scene_id in ids)
+
+
+def drop_scene_ids(ids) -> RoomFilter:
+    ids = set(ids)
+    return keep_if(lambda r: r.scene_id not in ids)
+
+
+def without_bad_jids(invalid_jids) -> RoomFilter:
+    bad = set(invalid_jids)
+    return keep_if(lambda r: not any(b.jid in bad for b in r.bboxes))
+
+
+def room_extent_within(lo: float, hi: float, axis: int = 1) -> RoomFilter:
+    """Furniture-bbox extent window along one axis: hi-corner <= ``hi`` and
+    lo-corner >= ``lo`` (reference ``room_smaller/larger_than_along_axis``,
+    ``common.py:100-110``)."""
+    def pred(room: Room) -> bool:
+        bbox_lo, bbox_hi = room.bbox
+        return bbox_hi[axis] <= hi and bbox_lo[axis] >= lo
+    return keep_if(pred)
+
+
+def floor_plan_within(limit_x: float, limit_y: float,
+                      axes=(0, 2)) -> RoomFilter:
+    def pred(room: Room) -> bool:
+        lo, hi = room.floor_plan_bbox
+        return (hi[axes[0]] - lo[axes[0]] <= limit_x
+                and hi[axes[1]] - lo[axes[1]] <= limit_y)
+    return keep_if(pred)
+
+
+def relabel(mapping: Mapping[str, str]) -> RoomFilter:
+    """Remap raw categories to the generic training vocabulary (in place,
+    like the reference's ``with_generic_classes``)."""
+    def run(room: Room) -> Room:
+        for box in room.bboxes:
+            box.label = mapping[box.label]
+        return room
+    return run
+
+
+def drop_box_labels(labels) -> RoomFilter:
+    """Remove matching boxes, keep the room."""
+    bad = set(labels)
+    def run(room: Room) -> Room:
+        room.bboxes[:] = [b for b in room.bboxes if b.label not in bad]
+        return room
+    return run
+
+
+def compose_filters(*steps: RoomFilter) -> RoomFilter:
+    def run(room: Optional[Room]) -> Optional[Room]:
+        for step in steps:
+            if not room:
+                return None
+            room = step(room)
+        return room or None
+    return run
+
+
+@dataclass(frozen=True)
+class RoomFilterSpec:
+    """Per-room-type filter parameters (reference
+    ``datasets/__init__.py:78-184`` as a table; thresholds are part of the
+    published dataset contract — see NOTICE)."""
+
+    room_token: str
+    vocab: Mapping[str, str]
+    min_boxes: int = 3
+    max_boxes: Optional[int] = None
+    must_contain: Tuple[str, ...] = ()
+    floor_limit: float = 6.0
+
+
+ROOM_FILTER_SPECS: Dict[str, RoomFilterSpec] = {
+    "bedroom": RoomFilterSpec(
+        "bed", THREED_FRONT_BEDROOM_FURNITURE, max_boxes=13,
+        must_contain=("double_bed", "single_bed", "kids_bed")),
+    "livingroom": RoomFilterSpec(
+        "living", THREED_FRONT_LIVINGROOM_FURNITURE, max_boxes=21,
+        floor_limit=12.0),
+    "diningroom": RoomFilterSpec(
+        "dining", THREED_FRONT_LIVINGROOM_FURNITURE, max_boxes=21,
+        floor_limit=12.0),
+    "library": RoomFilterSpec("library", THREED_FRONT_LIBRARY_FURNITURE),
+}
+
+
+def room_filter(spec: RoomFilterSpec, invalid_scene_ids=(),
+                invalid_jids=(), split_scene_ids=(),
+                without_lamps: bool = False) -> RoomFilter:
+    """The full filter chain for one room type, in the reference's
+    application order (size checks before lamp removal, vocabulary check
+    before relabeling)."""
+    steps: List[RoomFilter] = [
+        room_type_contains(spec.room_token),
+        at_least_boxes(spec.min_boxes),
+    ]
+    if spec.max_boxes is not None:
+        steps.append(at_most_boxes(spec.max_boxes))
+    steps += [
+        labels_within(spec.vocab),
+        relabel(spec.vocab),
+        drop_scene_ids(invalid_scene_ids),
+        without_bad_jids(invalid_jids),
+    ]
+    if spec.must_contain:
+        steps.append(contains_any_label(spec.must_contain))
+    steps += [
+        room_extent_within(-0.005, 4.0, axis=1),
+        floor_plan_within(spec.floor_limit, spec.floor_limit),
+        drop_box_labels(("ceiling_lamp", "pendant_lamp")
+                        if without_lamps else ()),
+        keep_scene_ids(split_scene_ids),
+    ]
+    return compose_filters(*steps)
+
+
+def filter_function(config, split=("train", "val"), without_lamps=False
+                    ) -> RoomFilter:
+    """Filter chain named by ``config["filter_fn"]``
+    (reference ``datasets/__init__.py:78-184``)."""
+    name = config["filter_fn"]
+    if name == "no_filtering":
+        return lambda room: room
+    if name == "non_empty":
+        return at_least_boxes(1)
+    with open(config["path_to_invalid_scene_ids"]) as f:
+        invalid_scene_ids = {line.strip() for line in f}
+    with open(config["path_to_invalid_bbox_jids"]) as f:
+        invalid_jids = {line.strip() for line in f}
+    split_ids = read_splits(config["annotation_file"], split)
+    for key, spec in ROOM_FILTER_SPECS.items():
+        if f"threed_front_{key}" in name:
+            return room_filter(spec, invalid_scene_ids, invalid_jids,
+                               split_ids, without_lamps)
+    raise NotImplementedError(name)
+
+
+# ---------------------------------------------------------------------------
+# raw dataset container with struct-of-arrays statistics
+
+
+class ThreedFront:
+    """Parsed 3D-FRONT rooms + dataset-wide statistics.
+
+    Statistics are reductions over one concatenated struct-of-arrays table
+    (:func:`~lsdm_tpu.data.threed_front_scene.room_arrays` per room), cached
+    after the first pass.
+    """
+
+    def __init__(self, scenes: Sequence[Room], bounds=None):
         assert len(scenes) > 0
-        self.scenes = scenes
+        self.scenes = list(scenes)
+        self._columns: Optional[Dict[str, np.ndarray]] = None
+        self._bounds = dict(bounds) if bounds is not None else None
 
     def __len__(self):
         return len(self.scenes)
@@ -168,21 +345,85 @@ class BaseDataset:
     def __getitem__(self, idx):
         return self.scenes[idx]
 
+    def __str__(self):
+        return (f"Dataset contains {len(self.scenes)} scenes with "
+                f"{self.n_object_types} discrete types")
+
+    def post_process(self, sample):
+        return sample
+
+    # -- the flat table ----------------------------------------------------
+    def _table(self) -> Dict[str, np.ndarray]:
+        if self._columns is None:
+            per_room = [room_arrays(s) for s in self.scenes]
+            self._columns = {
+                k: np.concatenate([t[k] for t in per_room])
+                for k in ("translations", "sizes", "angles")
+            }
+            self._columns["labels"] = np.array(
+                [lab for t in per_room for lab in t["labels"]])
+        return self._columns
+
+    # -- bounds ------------------------------------------------------------
     @property
-    def class_labels(self):
-        raise NotImplementedError()
+    def bounds(self) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+        if self._bounds is None:
+            table = self._table()
+            self._bounds = {
+                k: (table[k].min(axis=0), table[k].max(axis=0))
+                for k in ("translations", "sizes", "angles")
+            }
+        return self._bounds
 
     @property
-    def n_classes(self):
-        return len(self.class_labels)
+    def centroids(self):
+        return self.bounds["translations"]
 
     @property
-    def object_types(self):
-        raise NotImplementedError()
+    def sizes(self):
+        return self.bounds["sizes"]
 
     @property
-    def n_object_types(self):
+    def angles(self):
+        return self.bounds["angles"]
+
+    @property
+    def bbox(self) -> Tuple[np.ndarray, np.ndarray]:
+        lows, highs = zip(*(s.bbox for s in self.scenes))
+        return (np.min(np.stack(lows), axis=0),
+                np.max(np.stack(highs), axis=0))
+
+    # -- class statistics --------------------------------------------------
+    @property
+    def count_furniture(self) -> "OrderedDict[str, int]":
+        counts = Counter(self._table()["labels"].tolist())
+        return OrderedDict(sorted(counts.items(), key=lambda kv: -kv[1]))
+
+    @property
+    def class_order(self) -> Dict[str, int]:
+        return {label: i for i, label in enumerate(self.count_furniture)}
+
+    @property
+    def class_frequencies(self) -> Dict[str, float]:
+        counts = self.count_furniture
+        total = sum(counts.values())
+        return {k: v / total for k, v in counts.items()}
+
+    @property
+    def object_types(self) -> List[str]:
+        return sorted(set(self._table()["labels"].tolist()))
+
+    @property
+    def n_object_types(self) -> int:
         return len(self.object_types)
+
+    @property
+    def class_labels(self) -> List[str]:
+        return self.object_types + ["start", "end"]
+
+    @property
+    def n_classes(self) -> int:
+        return len(self.class_labels)
 
     @property
     def room_types(self):
@@ -191,229 +432,6 @@ class BaseDataset:
     @property
     def count_objects_in_rooms(self):
         return Counter(len(s.bboxes) for s in self.scenes)
-
-    def post_process(self, s):
-        return s
-
-    @staticmethod
-    def with_valid_scene_ids(invalid_scene_ids):
-        return lambda scene: (scene if scene.scene_id not in invalid_scene_ids
-                              else False)
-
-    @staticmethod
-    def with_scene_ids(scene_ids):
-        return lambda scene: scene if scene.scene_id in scene_ids else False
-
-    @staticmethod
-    def with_room(scene_type):
-        return lambda scene: (scene if scene_type in scene.scene_type
-                              else False)
-
-    @staticmethod
-    def room_smaller_than_along_axis(max_size, axis=1):
-        return lambda scene: (scene if scene.bbox[1][axis] <= max_size
-                              else False)
-
-    @staticmethod
-    def room_larger_than_along_axis(min_size, axis=1):
-        return lambda scene: (scene if scene.bbox[0][axis] >= min_size
-                              else False)
-
-    @staticmethod
-    def floor_plan_with_limits(limit_x, limit_y, axis=(0, 2)):
-        def inner(scene):
-            min_bbox, max_bbox = scene.floor_plan_bbox
-            t_x = max_bbox[axis[0]] - min_bbox[axis[0]]
-            t_y = max_bbox[axis[1]] - min_bbox[axis[1]]
-            # NOTE reference quirk (common.py:124-126): the else-branch
-            # evaluates bare `False` and falls through to returning None —
-            # both are falsy, so downstream filtering behaves identically.
-            return scene if (t_x <= limit_x and t_y <= limit_y) else False
-        return inner
-
-    @staticmethod
-    def with_valid_boxes(box_types):
-        def inner(scene):
-            for i in range(len(scene.bboxes) - 1, -1, -1):
-                if scene.bboxes[i].label not in box_types:
-                    scene.bboxes.pop(i)
-            return scene
-        return inner
-
-    @staticmethod
-    def without_box_types(box_types):
-        def inner(scene):
-            for i in range(len(scene.bboxes) - 1, -1, -1):
-                if scene.bboxes[i].label in box_types:
-                    scene.bboxes.pop(i)
-            return scene
-        return inner
-
-    @staticmethod
-    def with_generic_classes(box_types_map):
-        def inner(scene):
-            for box in scene.bboxes:
-                box.label = box_types_map[box.label]
-            return scene
-        return inner
-
-    @staticmethod
-    def with_valid_bbox_jids(invalid_bbox_jds):
-        return lambda scene: (
-            False if any(b.model_jid in invalid_bbox_jds for b in scene.bboxes)
-            else scene)
-
-    @staticmethod
-    def at_most_boxes(n):
-        return lambda scene: scene if len(scene.bboxes) <= n else False
-
-    @staticmethod
-    def at_least_boxes(n):
-        return lambda scene: scene if len(scene.bboxes) >= n else False
-
-    @staticmethod
-    def with_object_types(objects):
-        return lambda scene: (
-            scene if all(b.label in objects for b in scene.bboxes) else False)
-
-    @staticmethod
-    def contains_object_types(objects):
-        return lambda scene: (
-            scene if any(b.label in objects for b in scene.bboxes) else False)
-
-    @staticmethod
-    def without_object_types(objects):
-        return lambda scene: (
-            False if any(b.label in objects for b in scene.bboxes) else scene)
-
-    @staticmethod
-    def filter_compose(*filters):
-        def inner(scene):
-            s = scene
-            fs = iter(filters)
-            try:
-                while s:
-                    s = next(fs)(s)
-            except StopIteration:
-                pass
-            return s
-        return inner
-
-
-# --- raw dataset container (datasets/threed_front.py:22-179) ---
-
-
-class ThreedFront(BaseDataset):
-    """Container for parsed 3D-FRONT rooms with dataset statistics."""
-
-    def __init__(self, scenes, bounds=None):
-        super().__init__(scenes)
-        assert isinstance(self.scenes[0], Room)
-        self._object_types = None
-        self._room_types = None
-        self._count_furniture = None
-        self._bbox = None
-        self._sizes = self._centroids = self._angles = None
-        if bounds is not None:
-            self._sizes = bounds["sizes"]
-            self._centroids = bounds["translations"]
-            self._angles = bounds["angles"]
-
-    def __str__(self):
-        return (f"Dataset contains {len(self.scenes)} scenes with "
-                f"{self.n_object_types} discrete types")
-
-    @property
-    def bbox(self):
-        if self._bbox is None:
-            lo = np.array([1000.0, 1000, 1000])
-            hi = -lo
-            for s in self.scenes:
-                bbox_min, bbox_max = s.bbox
-                lo = np.minimum(bbox_min, lo)
-                hi = np.maximum(bbox_max, hi)
-            self._bbox = (lo, hi)
-        return self._bbox
-
-    def _compute_bounds(self):
-        big = np.array([1e7] * 3)
-        size_lo, size_hi = big.copy(), -big.copy()
-        cen_lo, cen_hi = big.copy(), -big.copy()
-        ang_lo, ang_hi = np.array([1e10]), np.array([-1e10])
-        for s in self.scenes:
-            for f in s.bboxes:
-                centroid = f.centroid(-s.centroid)
-                cen_lo = np.minimum(centroid, cen_lo)
-                cen_hi = np.maximum(centroid, cen_hi)
-                size_lo = np.minimum(f.size, size_lo)
-                size_hi = np.maximum(f.size, size_hi)
-                ang_lo = np.minimum(f.z_angle, ang_lo)
-                ang_hi = np.maximum(f.z_angle, ang_hi)
-        self._sizes = (size_lo, size_hi)
-        self._centroids = (cen_lo, cen_hi)
-        self._angles = (ang_lo, ang_hi)
-
-    @property
-    def bounds(self):
-        return {"translations": self.centroids, "sizes": self.sizes,
-                "angles": self.angles}
-
-    @property
-    def sizes(self):
-        if self._sizes is None:
-            self._compute_bounds()
-        return self._sizes
-
-    @property
-    def centroids(self):
-        if self._centroids is None:
-            self._compute_bounds()
-        return self._centroids
-
-    @property
-    def angles(self):
-        if self._angles is None:
-            self._compute_bounds()
-        return self._angles
-
-    @property
-    def count_furniture(self):
-        if self._count_furniture is None:
-            counts = Counter(
-                sum((s.furniture_in_room for s in self.scenes), []))
-            self._count_furniture = OrderedDict(
-                sorted(counts.items(), key=lambda x: -x[1]))
-        return self._count_furniture
-
-    @property
-    def class_order(self):
-        return dict(zip(self.count_furniture.keys(),
-                        range(len(self.count_furniture))))
-
-    @property
-    def class_frequencies(self):
-        counts = self.count_furniture
-        total = sum(counts.values())
-        return {k: v / total for k, v in counts.items()}
-
-    @property
-    def object_types(self):
-        if self._object_types is None:
-            types = set()
-            for s in self.scenes:
-                types |= set(s.object_types)
-            self._object_types = sorted(types)
-        return self._object_types
-
-    @property
-    def room_types(self):
-        if self._room_types is None:
-            self._room_types = set(s.scene_type for s in self.scenes)
-        return self._room_types
-
-    @property
-    def class_labels(self):
-        return self.object_types + ["start", "end"]
 
     @classmethod
     def from_dataset_directory(cls, dataset_directory, path_to_model_info,
@@ -428,23 +446,53 @@ class ThreedFront(BaseDataset):
         return cls([s for s in map(filter_fn, scenes) if s], bounds)
 
 
-# --- cached preprocessed rooms (datasets/threed_front.py:182-329) ---
+# ---------------------------------------------------------------------------
+# preprocessed ("cached") rooms: boxes.npz + train_stats reader
 
 
-class CachedRoom:
-    def __init__(self, scene_id, room_layout, floor_plan_vertices,
-                 floor_plan_faces, floor_plan_centroid, class_labels,
-                 translations, sizes, angles, image_path):
-        self.scene_id = scene_id
-        self.room_layout = room_layout
-        self.floor_plan_faces = floor_plan_faces
-        self.floor_plan_vertices = floor_plan_vertices
-        self.floor_plan_centroid = floor_plan_centroid
-        self.class_labels = class_labels
-        self.translations = translations
-        self.sizes = sizes
-        self.angles = angles
-        self.image_path = image_path
+@dataclass(frozen=True)
+class DatasetStats:
+    """The ``dataset_stats`` json of a preprocessed 3D-FRONT cache
+    (reference ``threed_front.py:300-329``)."""
+
+    class_labels: List[str]
+    object_types: List[str]
+    class_frequencies: Dict[str, float]
+    class_order: Dict[str, int]
+    count_furniture: Dict[str, int]
+    bounds: Dict[str, Tuple[np.ndarray, np.ndarray]]
+
+    @classmethod
+    def from_json(cls, path: str) -> "DatasetStats":
+        with open(path) as f:
+            raw = json.load(f)
+        def pair(values, split_at):
+            arr = np.asarray(values, np.float64)
+            return arr[:split_at], arr[split_at:]
+        return cls(
+            class_labels=raw["class_labels"],
+            object_types=raw["object_types"],
+            class_frequencies=raw["class_frequencies"],
+            class_order=raw["class_order"],
+            count_furniture=raw["count_furniture"],
+            bounds={
+                "translations": pair(raw["bounds_translations"], 3),
+                "sizes": pair(raw["bounds_sizes"], 3),
+                "angles": pair(raw["bounds_angles"], 1),
+            })
+
+
+class CachedRoom(NamedTuple):
+    scene_id: str
+    room_layout: np.ndarray  # (H, W) float in [0, 1]
+    floor_plan_vertices: np.ndarray
+    floor_plan_faces: np.ndarray
+    floor_plan_centroid: np.ndarray
+    class_labels: np.ndarray
+    translations: np.ndarray
+    sizes: np.ndarray
+    angles: np.ndarray
+    image_path: str
 
     @property
     def floor_plan(self):
@@ -456,529 +504,441 @@ class CachedRoom:
         return self.room_layout[:, :, None]
 
 
-class CachedThreedFrontRooms(ThreedFront):
-    """Reader over the standard preprocessed layout:
-    ``<base_dir>/<tag>/boxes.npz`` + renders + a ``train_stats`` json
-    (``datasets/threed_front.py:217-329``).  The encoding chain composes
-    over :meth:`get_room_params`."""
+class CachedThreedFrontRooms:
+    """Reader over the standard preprocessed layout
+    ``<base_dir>/<RoomType_sceneid>/boxes.npz`` (+ renders + a
+    ``train_stats`` json; reference ``threed_front.py:182-299``).
 
-    def __init__(self, base_dir, config, scene_ids):
+    Statistics come from :class:`DatasetStats`; the encoding layer composes
+    over :meth:`get_room_params`.
+    """
+
+    _RENDER_NAMES = ("rendered_scene_256.png",
+                     "rendered_scene_256_no_lamps.png")
+
+    def __init__(self, base_dir: str, config: Mapping, scene_ids):
         self._base_dir = base_dir
-        self.config = config
-        self._parse_train_stats(config["train_stats"])
+        self.config = dict(config)
+        self.stats = DatasetStats.from_json(
+            os.path.join(base_dir, config["train_stats"]))
+        wanted = set(scene_ids)
         self._tags = sorted(
-            oi for oi in os.listdir(self._base_dir)
-            if "_" in oi and oi.split("_")[1] in scene_ids)
-        self._path_to_rooms = sorted(
-            os.path.join(self._base_dir, pi, "boxes.npz")
-            for pi in self._tags)
-        rendered_scene = "rendered_scene_256.png"
-        if self._tags and not os.path.isfile(os.path.join(
-                self._base_dir, self._tags[0], rendered_scene)):
-            rendered_scene = "rendered_scene_256_no_lamps.png"
-        self._path_to_renders = sorted(
-            os.path.join(self._base_dir, pi, rendered_scene)
-            for pi in self._tags)
-
-    def _get_room_layout(self, room_layout: np.ndarray) -> np.ndarray:
-        from PIL import Image
-
-        img = Image.fromarray(room_layout[:, :, 0])
-        img = img.resize(
-            tuple(map(int, self.config["room_layout_size"].split(","))),
-            resample=Image.BILINEAR)
-        return np.asarray(img).astype(np.float32) / np.float32(255)
-
-    @lru_cache(maxsize=32)
-    def __getitem__(self, i):
-        D = np.load(self._path_to_rooms[i])
-        return CachedRoom(
-            scene_id=D["scene_id"],
-            room_layout=self._get_room_layout(D["room_layout"]),
-            floor_plan_vertices=D["floor_plan_vertices"],
-            floor_plan_faces=D["floor_plan_faces"],
-            floor_plan_centroid=D["floor_plan_centroid"],
-            class_labels=D["class_labels"],
-            translations=D["translations"],
-            sizes=D["sizes"],
-            angles=D["angles"],
-            image_path=self._path_to_renders[i])
-
-    def get_room_params(self, i) -> Dict[str, np.ndarray]:
-        D = np.load(self._path_to_rooms[i])
-        room = self._get_room_layout(D["room_layout"])
-        room = np.transpose(room[:, :, None], (2, 0, 1))
-        return {
-            "room_layout": room,
-            "class_labels": D["class_labels"],
-            "translations": D["translations"],
-            "sizes": D["sizes"],
-            "angles": D["angles"],
-        }
+            d for d in os.listdir(base_dir)
+            if "_" in d and d.split("_")[1] in wanted)
+        render = self._RENDER_NAMES[0]
+        if self._tags and not os.path.isfile(
+                os.path.join(base_dir, self._tags[0], render)):
+            render = self._RENDER_NAMES[1]
+        self._render_name = render
+        self._layout_hw = tuple(
+            int(v) for v in self.config["room_layout_size"].split(","))
 
     def __len__(self):
-        return len(self._path_to_rooms)
+        return len(self._tags)
 
-    def _parse_train_stats(self, train_stats):
-        with open(os.path.join(self._base_dir, train_stats)) as f:
-            ts = json.load(f)
-        c = ts["bounds_translations"]
-        self._centroids = (np.array(c[:3]), np.array(c[3:]))
-        s = ts["bounds_sizes"]
-        self._sizes = (np.array(s[:3]), np.array(s[3:]))
-        a = ts["bounds_angles"]
-        self._angles = (np.array(a[0]), np.array(a[1]))
-        self._class_labels = ts["class_labels"]
-        self._object_types = ts["object_types"]
-        self._class_frequencies = ts["class_frequencies"]
-        self._class_order = ts["class_order"]
-        self._count_furniture = ts["count_furniture"]
+    def _room_dir(self, i: int) -> str:
+        return os.path.join(self._base_dir, self._tags[i])
+
+    def _resized_layout(self, layout: np.ndarray) -> np.ndarray:
+        """uint8 (H, W, 1) -> float (h, w) in [0, 1] at the configured
+        size."""
+        from PIL import Image
+
+        img = Image.fromarray(layout[:, :, 0]).resize(
+            self._layout_hw, resample=Image.BILINEAR)
+        return np.asarray(img).astype(np.float32) / np.float32(255)
+
+    def __getitem__(self, i: int) -> CachedRoom:
+        with np.load(os.path.join(self._room_dir(i), "boxes.npz")) as d:
+            return CachedRoom(
+                scene_id=d["scene_id"],
+                room_layout=self._resized_layout(d["room_layout"]),
+                floor_plan_vertices=d["floor_plan_vertices"],
+                floor_plan_faces=d["floor_plan_faces"],
+                floor_plan_centroid=d["floor_plan_centroid"],
+                class_labels=d["class_labels"],
+                translations=d["translations"],
+                sizes=d["sizes"],
+                angles=d["angles"],
+                image_path=os.path.join(self._room_dir(i),
+                                        self._render_name))
+
+    def get_room_params(self, i: int) -> Sample:
+        with np.load(os.path.join(self._room_dir(i), "boxes.npz")) as d:
+            return {
+                "room_layout": self._resized_layout(d["room_layout"])[None],
+                "class_labels": np.asarray(d["class_labels"]),
+                "translations": np.asarray(d["translations"]),
+                "sizes": np.asarray(d["sizes"]),
+                "angles": np.asarray(d["angles"]),
+            }
+
+    def post_process(self, sample):
+        return sample
+
+    # -- stats delegation --------------------------------------------------
+    @property
+    def bounds(self):
+        return self.stats.bounds
 
     @property
     def class_labels(self):
-        return self._class_labels
-
-    @property
-    def object_types(self):
-        return self._object_types
-
-    @property
-    def class_frequencies(self):
-        return self._class_frequencies
-
-    @property
-    def class_order(self):
-        return self._class_order
-
-    @property
-    def count_furniture(self):
-        return self._count_furniture
-
-
-# --- encoding chain (datasets/threed_front_dataset.py:18-467) ---
-
-
-class DatasetDecoratorBase:
-    """Composable dataset decorator."""
-
-    def __init__(self, dataset):
-        self._dataset = dataset
-
-    def __len__(self):
-        return len(self._dataset)
-
-    def __getitem__(self, idx):
-        return self._dataset[idx]
-
-    @property
-    def bounds(self):
-        return self._dataset.bounds
+        return self.stats.class_labels
 
     @property
     def n_classes(self):
-        return self._dataset.n_classes
-
-    @property
-    def class_labels(self):
-        return self._dataset.class_labels
-
-    @property
-    def class_frequencies(self):
-        return self._dataset.class_frequencies
-
-    @property
-    def n_object_types(self):
-        return self._dataset.n_object_types
+        return len(self.stats.class_labels)
 
     @property
     def object_types(self):
-        return self._dataset.object_types
+        return self.stats.object_types
+
+    @property
+    def n_object_types(self):
+        return len(self.stats.object_types)
+
+    @property
+    def class_frequencies(self):
+        return self.stats.class_frequencies
+
+    @property
+    def class_order(self):
+        return self.stats.class_order
+
+    @property
+    def count_furniture(self):
+        return self.stats.count_furniture
+
+
+# ---------------------------------------------------------------------------
+# encoding pipeline: pure sample -> sample transforms
+
+#: fallback square layout mask edge for raw rooms without a mask render
+DEFAULT_LAYOUT_SIZE = 64
+
+
+def minmax_scale(x, lo, hi):
+    """[-1, 1] min-max scaling with clipping
+    (``threed_front_dataset.py:309-325``)."""
+    x = np.clip(np.asarray(x, np.float32), lo, hi)
+    return 2.0 * (x - lo) / (hi - lo) - 1.0
+
+
+def minmax_unscale(x, lo, hi):
+    return (np.asarray(x) + 1.0) / 2.0 * (hi - lo) + lo
+
+
+def rotate_y(points: np.ndarray, theta: float) -> np.ndarray:
+    """Row-vector y-rotation matching the reference's ``v.dot(R)`` with its
+    R[0,2] = -sin convention (``threed_front_dataset.py:253-263``):
+    x' = x·cos + z·sin, z' = -x·sin + z·cos."""
+    c, s = np.cos(theta), np.sin(theta)
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    return np.stack([x * c + z * s, y, -x * s + z * c], axis=-1)
+
+
+def scaled(bounds) -> Transform:
+    def run(sample: Sample) -> Sample:
+        for k, (lo, hi) in bounds.items():
+            if k in sample:
+                sample[k] = minmax_scale(sample[k], lo, hi)
+        return sample
+    return run
+
+
+def descale_sample(sample: Sample, bounds) -> Sample:
+    """Invert :func:`scaled` on every bounded key (class labels and layout
+    pass through)."""
+    return {
+        k: (v if k in ("room_layout", "class_labels")
+            else minmax_unscale(v, *bounds[k]))
+        for k, v in sample.items()
+    }
+
+
+def rotation_augmented(bounds, min_rad=0.174533, max_rad=5.06145
+                       ) -> Transform:
+    """Random y-rotation of the whole room, half the time
+    (``threed_front_dataset.py:250-306``; angle window is the published
+    augmentation contract — see NOTICE).  Angles wrap into
+    [angle_min, angle_min + 2pi)."""
+    def run(sample: Sample) -> Sample:
+        theta = (np.random.uniform(min_rad, max_rad)
+                 if np.random.rand() < 0.5 else 0.0)
+        if "translations" in sample:
+            sample["translations"] = rotate_y(sample["translations"], theta)
+        if "angles" in sample:
+            lo = bounds["angles"][0]
+            sample["angles"] = (
+                (sample["angles"] + theta - lo) % (2 * np.pi) + lo)
+        if "room_layout" in sample:
+            from scipy.ndimage import rotate
+
+            img = np.transpose(sample["room_layout"], (1, 2, 0))
+            img = rotate(img, theta * 180.0 / np.pi, reshape=False)
+            sample["room_layout"] = np.transpose(img, (2, 0, 1))
+        return sample
+    return run
+
+
+def jittered(sigma: float = 0.01) -> Transform:
+    """Reference quirk kept (``threed_front_dataset.py:351-360``): ONE
+    scalar normal draw per property, added uniformly — not per-element
+    noise."""
+    def run(sample: Sample) -> Sample:
+        for k in sample:
+            if k not in ("room_layout", "class_labels"):
+                sample[k] = sample[k] + np.random.normal(0, sigma)
+        return sample
+    return run
+
+
+def permuted(keys=BOX_KEYS) -> Transform:
+    def run(sample: Sample) -> Sample:
+        order = np.random.permutation(sample["class_labels"].shape[0])
+        for k in keys:
+            sample[k] = sample[k][order]
+        return sample
+    return run
+
+
+def freq_ordered(class_frequencies, class_labels, keys=BOX_KEYS
+                 ) -> Transform:
+    """Most-frequent-class-first reorder: one reversed lexsort with class
+    frequency as the primary key, translations breaking ties
+    (``threed_front_dataset.py:389-408``)."""
+    def run(sample: Sample) -> Sample:
+        ints = sample["class_labels"].argmax(-1)
+        freqs = np.array([[class_frequencies[class_labels[i]]]
+                          for i in ints])
+        order = np.lexsort(
+            np.hstack([sample["translations"], freqs]).T)[::-1]
+        for k in keys:
+            sample[k] = sample[k][order]
+        return sample
+    return run
+
+
+def with_end_targets() -> Transform:
+    """Append the stop symbol and emit the shifted ``*_tr`` target track:
+    class labels gain an end-label row, numeric properties a zero row
+    (``threed_front_dataset.py:411-446``)."""
+    def run(sample: Sample) -> Sample:
+        targets = {}
+        for k, v in sample.items():
+            if k in ("room_layout", "length"):
+                continue
+            rows, cols = v.shape
+            extra = (np.eye(cols)[-1] if k == "class_labels"
+                     else np.zeros(cols))
+            targets[k + "_tr"] = np.vstack([v, extra])
+        sample.update(targets)
+        sample["length"] = sample["class_labels"].shape[0]
+        return sample
+    return run
+
+
+def wocm_split() -> Transform:
+    """"Without causal masking": draw a split point m in [0, L]; boxes
+    before m are the context, target row m (possibly the end symbol) is the
+    prediction (``threed_front_dataset.py:449-467``)."""
+    def run(sample: Sample) -> Sample:
+        n_ctx = np.random.randint(0, sample["class_labels"].shape[0] + 1)
+        for k, v in sample.items():
+            if k in ("room_layout", "length"):
+                continue
+            sample[k] = v[n_ctx] if k.endswith("_tr") else v[:n_ctx]
+        sample["length"] = n_ctx
+        return sample
+    return run
+
+
+def collate_padded(samples: Sequence[Sample]) -> Dict[str, np.ndarray]:
+    """Batch variable-length samples: 2-D per-box arrays zero-pad to the
+    batch max length, everything else stacks; adds ``lengths``; ``*_tr``
+    targets gain a singleton box axis.  float32 numpy out — feed to jnp
+    directly (``threed_front_dataset.py:205-247``)."""
+    max_len = max(s["length"] for s in samples)
+    out: Dict[str, np.ndarray] = {}
+    for k in samples[0]:
+        if k == "length":
+            continue
+        if np.ndim(samples[0][k]) == 2:  # (boxes, feat): pad the box axis
+            out[k] = np.stack([
+                np.vstack([s[k], np.zeros((max_len - len(s[k]),
+                                           np.shape(s[k])[1]))])
+                for s in samples
+            ])
+        else:
+            out[k] = np.stack([s[k] for s in samples])
+    out["lengths"] = np.array([s["length"] for s in samples])
+    out = {k: np.asarray(v, np.float32) for k, v in out.items()}
+    return {k: (v[:, None] if "_tr" in k else v) for k, v in out.items()}
+
+
+class EncodedRooms:
+    """A dataset view: base sample builder + a pipeline of pure transforms.
+
+    Replaces the reference's 12-class decorator tower
+    (``threed_front_dataset.py:18-467``) — every encoding is the same class
+    with a different pipeline, assembled by
+    :func:`dataset_encoding_factory`.
+    """
+
+    #: translation (3) + size (3) + angle (1) — the box regression width
+    bbox_dims = 7
+
+    def __init__(self, source, sample_fn: Callable[[int], Sample],
+                 transforms: Sequence[Transform], scaled_output: bool):
+        self._source = source
+        self._sample_fn = sample_fn
+        self._transforms = list(transforms)
+        self._scaled_output = scaled_output
+
+    def __len__(self):
+        return len(self._source)
+
+    def __getitem__(self, idx: int) -> Sample:
+        sample = self._sample_fn(idx)
+        for transform in self._transforms:
+            sample = transform(sample)
+        return sample
+
+    @staticmethod
+    def collate_fn(samples):
+        return collate_padded(samples)
+
+    def post_process(self, sample: Sample) -> Sample:
+        if self._scaled_output:
+            sample = descale_sample(sample, self.bounds)
+        return self._source.post_process(sample)
+
+    # -- stats delegation --------------------------------------------------
+    @property
+    def bounds(self):
+        return self._source.bounds
+
+    @property
+    def class_labels(self):
+        return self._source.class_labels
+
+    @property
+    def n_classes(self):
+        return self._source.n_classes
+
+    @property
+    def class_frequencies(self):
+        return self._source.class_frequencies
+
+    @property
+    def object_types(self):
+        return self._source.object_types
+
+    @property
+    def n_object_types(self):
+        return self._source.n_object_types
 
     @property
     def feature_size(self):
         return self.bbox_dims + self.n_classes
 
-    @property
-    def bbox_dims(self):
-        raise NotImplementedError()
 
-    def post_process(self, s):
-        return self._dataset.post_process(s)
+def raw_room_sample(dataset, box_ordering=None, with_layout=True
+                    ) -> Callable[[int], Sample]:
+    """Base sample builder over parsed rooms: the struct-of-arrays table +
+    one-hot labels (the reference's five per-property encoder classes,
+    ``threed_front_dataset.py:121-202``, as one function).
 
+    Deviation: rooms without a mask render get a constant ones layout of
+    ``DEFAULT_LAYOUT_SIZE`` (the reference crashes).
+    """
+    labels = dataset.class_labels
 
-class BoxOrderedDataset(DatasetDecoratorBase):
-    def __init__(self, dataset, box_ordering=None):
-        super().__init__(dataset)
-        self.box_ordering = box_ordering
-
-    @lru_cache(maxsize=16)
-    def _get_boxes(self, scene_idx):
-        scene = self._dataset[scene_idx]
-        if self.box_ordering is None:
-            return scene.bboxes
-        elif self.box_ordering == "class_frequencies":
-            return scene.ordered_bboxes_with_class_frequencies(
-                self.class_frequencies)
+    def build(idx: int) -> Sample:
+        room = dataset[idx]
+        arrays = room_arrays(room)
+        if box_ordering == "class_frequencies":
+            order = box_order(room, class_rank=dataset.class_frequencies)
+        elif box_ordering is None:
+            order = np.arange(len(room.bboxes))
         else:
-            raise NotImplementedError()
-
-
-class DataEncoder(BoxOrderedDataset):
-    @property
-    def property_type(self):
-        raise NotImplementedError()
-
-
-class RoomLayoutEncoder(DataEncoder):
-    property_type = "room_layout"
-    bbox_dims = 0
-
-    def __getitem__(self, idx):
-        img = self._dataset[idx].room_mask[:, :, 0:1]
-        return np.transpose(img, (2, 0, 1))
-
-
-class ClassLabelsEncoder(DataEncoder):
-    property_type = "class_labels"
-    bbox_dims = 0
-
-    def __getitem__(self, idx):
-        classes = self.class_labels
-        boxes = self._get_boxes(idx)
-        class_labels = np.zeros((len(boxes), len(classes)), np.float32)
-        for i, bs in enumerate(boxes):
-            class_labels[i] = bs.one_hot_label(classes)
-        return class_labels
-
-
-class TranslationEncoder(DataEncoder):
-    property_type = "translations"
-    bbox_dims = 3
-
-    def __getitem__(self, idx):
-        scene = self._dataset[idx]
-        boxes = self._get_boxes(idx)
-        translations = np.zeros((len(boxes), 3), np.float32)
-        for i, bs in enumerate(boxes):
-            translations[i] = bs.centroid(-scene.centroid)
-        return translations
-
-
-class SizeEncoder(DataEncoder):
-    property_type = "sizes"
-    bbox_dims = 3
-
-    def __getitem__(self, idx):
-        boxes = self._get_boxes(idx)
-        sizes = np.zeros((len(boxes), 3), np.float32)
-        for i, bs in enumerate(boxes):
-            sizes[i] = bs.size
-        return sizes
-
-
-class AngleEncoder(DataEncoder):
-    property_type = "angles"
-    bbox_dims = 1
-
-    def __getitem__(self, idx):
-        boxes = self._get_boxes(idx)
-        angles = np.zeros((len(boxes), 1), np.float32)
-        for i, bs in enumerate(boxes):
-            angles[i] = bs.z_angle
-        return angles
-
-
-class DatasetCollection(DatasetDecoratorBase):
-    def __init__(self, *datasets):
-        super().__init__(datasets[0])
-        self._datasets = datasets
-
-    @property
-    def bbox_dims(self):
-        return sum(d.bbox_dims for d in self._datasets)
-
-    def __getitem__(self, idx):
-        return {d.property_type: d[idx] for d in self._datasets}
-
-    @staticmethod
-    def collate_fn(samples) -> Dict[str, np.ndarray]:
-        """Pad 2-D per-box arrays to the batch max length, stack the rest,
-        add "lengths"; *_tr targets gain a singleton box axis
-        (``threed_front_dataset.py:205-247``).  Returns float32 numpy —
-        feed to jnp directly."""
-        key_set = set(samples[0].keys()) - {"length"}
-        max_length = max(sample["length"] for sample in samples)
-        padding_keys = set(
-            k for k in key_set if len(np.shape(samples[0][k])) == 2)
-        out = {
-            k: np.stack([s[k] for s in samples], axis=0)
-            for k in key_set - padding_keys
+            raise NotImplementedError(box_ordering)
+        onehot = np.stack([
+            np.eye(len(labels), dtype=np.float32)[labels.index(lab)]
+            for lab in arrays["labels"]
+        ])
+        sample = {
+            "class_labels": onehot[order],
+            "translations": arrays["translations"][order].astype(np.float32),
+            "sizes": arrays["sizes"][order].astype(np.float32),
+            "angles": arrays["angles"][order].astype(np.float32),
         }
-        out.update({
-            k: np.stack([
-                np.vstack([
-                    s[k],
-                    np.zeros((max_length - len(s[k]), np.shape(s[k])[1]))
-                ]) for s in samples
-            ], axis=0)
-            for k in padding_keys
-        })
-        out["lengths"] = np.array([s["length"] for s in samples])
-        out = {k: np.asarray(v, np.float32) for k, v in out.items()}
-        out.update({k: v[:, None] for k, v in out.items() if "_tr" in k})
-        return out
-
-
-class CachedDatasetCollection(DatasetCollection):
-    def __init__(self, dataset):
-        super().__init__(dataset)
-        self._dataset = dataset
-
-    def __getitem__(self, idx):
-        return self._dataset.get_room_params(idx)
-
-    @property
-    def bbox_dims(self):
-        return self._dataset.bbox_dims
-
-
-class RotationAugmentation(DatasetDecoratorBase):
-    def __init__(self, dataset, min_rad=0.174533, max_rad=5.06145):
-        super().__init__(dataset)
-        self._min_rad = min_rad
-        self._max_rad = max_rad
-
-    @staticmethod
-    def rotation_matrix_around_y(theta):
-        R = np.zeros((3, 3))
-        R[0, 0] = np.cos(theta)
-        R[0, 2] = -np.sin(theta)
-        R[2, 0] = np.sin(theta)
-        R[2, 2] = np.cos(theta)
-        R[1, 1] = 1.0
-        return R
-
-    @property
-    def rot_angle(self):
-        if np.random.rand() < 0.5:
-            return np.random.uniform(self._min_rad, self._max_rad)
-        return 0.0
-
-    def __getitem__(self, idx):
-        rot_angle = self.rot_angle
-        R = RotationAugmentation.rotation_matrix_around_y(rot_angle)
-        sample_params = self._dataset[idx]
-        for k, v in sample_params.items():
-            if k == "translations":
-                sample_params[k] = v.dot(R)
-            elif k == "angles":
-                angle_min, angle_max = self.bounds["angles"]
-                sample_params[k] = (
-                    (v + rot_angle - angle_min) % (2 * np.pi) + angle_min)
-            elif k == "room_layout":
-                from scipy.ndimage import rotate
-
-                img = np.transpose(v, (1, 2, 0))
-                sample_params[k] = np.transpose(
-                    rotate(img, rot_angle * 180 / np.pi, reshape=False),
-                    (2, 0, 1))
-        return sample_params
-
-
-class Scale(DatasetDecoratorBase):
-    """Min-max scale bounded properties into [-1, 1]
-    (``threed_front_dataset.py:309-348``)."""
-
-    bbox_dims = 3 + 3 + 1
-
-    @staticmethod
-    def scale(x, minimum, maximum):
-        X = np.clip(x.astype(np.float32), minimum, maximum)
-        X = (X - minimum) / (maximum - minimum)
-        return 2 * X - 1
-
-    @staticmethod
-    def descale(x, minimum, maximum):
-        x = (x + 1) / 2
-        return x * (maximum - minimum) + minimum
-
-    def __getitem__(self, idx):
-        bounds = self.bounds
-        sample_params = self._dataset[idx]
-        for k, v in sample_params.items():
-            if k in bounds:
-                sample_params[k] = Scale.scale(v, bounds[k][0], bounds[k][1])
-        return sample_params
-
-    def post_process(self, s):
-        bounds = self.bounds
-        sample_params = {}
-        for k, v in s.items():
-            if k in ("room_layout", "class_labels"):
-                sample_params[k] = v
+        if with_layout:
+            if room.room_mask_path is not None:
+                mask = room.room_mask[:, :, 0:1]
             else:
-                sample_params[k] = Scale.descale(
-                    v, bounds[k][0], bounds[k][1])
-        return super().post_process(sample_params)
-
-
-class Jitter(DatasetDecoratorBase):
-    def __getitem__(self, idx):
-        sample_params = self._dataset[idx]
-        for k, v in sample_params.items():
-            if k in ("room_layout", "class_labels"):
-                sample_params[k] = v
-            else:
-                sample_params[k] = v + np.random.normal(0, 0.01)
-        return sample_params
-
-
-class Permutation(DatasetDecoratorBase):
-    def __init__(self, dataset, permutation_keys, permutation_axis=0):
-        super().__init__(dataset)
-        self._permutation_keys = permutation_keys
-        self._permutation_axis = permutation_axis
-
-    def __getitem__(self, idx):
-        sample_params = self._dataset[idx]
-        shapes = sample_params["class_labels"].shape
-        ordering = np.random.permutation(shapes[self._permutation_axis])
-        for k in self._permutation_keys:
-            sample_params[k] = sample_params[k][ordering]
-        return sample_params
-
-
-class OrderedDataset(DatasetDecoratorBase):
-    def __init__(self, dataset, ordered_keys, box_ordering=None):
-        super().__init__(dataset)
-        self._ordered_keys = ordered_keys
-        self._box_ordering = box_ordering
-
-    def __getitem__(self, idx):
-        if self._box_ordering is None:
-            return self._dataset[idx]
-        if self._box_ordering != "class_frequencies":
-            raise NotImplementedError()
-        sample = self._dataset[idx]
-        order = self._get_class_frequency_order(sample)
-        for k in self._ordered_keys:
-            sample[k] = sample[k][order]
+                mask = np.ones(
+                    (DEFAULT_LAYOUT_SIZE, DEFAULT_LAYOUT_SIZE, 1),
+                    np.float32)
+            sample["room_layout"] = np.transpose(mask, (2, 0, 1))
         return sample
 
-    def _get_class_frequency_order(self, sample):
-        t = sample["translations"]
-        c = sample["class_labels"].argmax(-1)
-        class_frequencies = self.class_frequencies
-        class_labels = self.class_labels
-        f = np.array([[class_frequencies[class_labels[ci]]] for ci in c])
-        return np.lexsort(np.hstack([t, f]).T)[::-1]
-
-
-class Autoregressive(DatasetDecoratorBase):
-    """Append the end symbol to every property as the *_tr target track
-    (``threed_front_dataset.py:411-446``)."""
-
-    bbox_dims = 7
-
-    def __getitem__(self, idx):
-        sample_params = self._dataset[idx]
-        sample_params_target = {}
-        for k, v in sample_params.items():
-            if k in ("room_layout", "length"):
-                pass
-            elif k == "class_labels":
-                class_labels = np.copy(v)
-                _, C = class_labels.shape
-                end_label = np.eye(C)[-1]
-                sample_params_target[k + "_tr"] = np.vstack(
-                    [class_labels, end_label])
-            else:
-                p = np.copy(v)
-                _, C = p.shape
-                sample_params_target[k + "_tr"] = np.vstack([p, np.zeros(C)])
-        sample_params.update(sample_params_target)
-        sample_params["length"] = sample_params["class_labels"].shape[0]
-        return sample_params
-
-    def collate_fn(self, samples):
-        return DatasetCollection.collate_fn(samples)
-
-
-class AutoregressiveWOCM(Autoregressive):
-    """"Without causal masking": pick a random split point, boxes before it
-    are the context, the box at it is the target
-    (``threed_front_dataset.py:449-467``)."""
-
-    def __getitem__(self, idx):
-        sample_params = super().__getitem__(idx)
-        L, _ = sample_params["class_labels"].shape
-        n_boxes = np.random.randint(0, L + 1)
-        for k, v in sample_params.items():
-            if k in ("room_layout", "length"):
-                pass
-            elif "_tr" in k:
-                sample_params[k] = v[n_boxes]
-            else:
-                sample_params[k] = v[:n_boxes]
-        sample_params["length"] = n_boxes
-        return sample_params
+    return build
 
 
 def dataset_encoding_factory(name, dataset, augmentations=None,
-                             box_ordering=None):
-    """(``threed_front_dataset.py:470-534``).  The reference's "basic" branch
-    references encoders that only exist on the non-cached path — same
-    constraint enforced here with a clear error."""
+                             box_ordering=None) -> EncodedRooms:
+    """Assemble the encoding pipeline named ``name``
+    (``threed_front_dataset.py:470-534``).
+
+    Pipeline order (the reference's decorator nesting, innermost first):
+    base sample -> [cached: class-frequency order] -> augmentations ->
+    [-1, 1] scale -> [wocm: permutation] -> end-target append -> WOCM split.
+    """
+    pipeline: List[Transform] = []
     if "cached" in name:
-        dataset_collection = OrderedDataset(
-            CachedDatasetCollection(dataset),
-            ["class_labels", "translations", "sizes", "angles"],
-            box_ordering=box_ordering)
+        sample_fn = dataset.get_room_params
+        if box_ordering == "class_frequencies":
+            pipeline.append(freq_ordered(dataset.class_frequencies,
+                                         dataset.class_labels))
+        elif box_ordering is not None:
+            raise NotImplementedError(box_ordering)
     else:
-        box_ordered_dataset = BoxOrderedDataset(dataset, box_ordering)
-        room_layout = RoomLayoutEncoder(box_ordered_dataset)
-        class_labels = ClassLabelsEncoder(box_ordered_dataset)
-        translations = TranslationEncoder(box_ordered_dataset)
-        sizes = SizeEncoder(box_ordered_dataset)
-        angles = AngleEncoder(box_ordered_dataset)
-        dataset_collection = DatasetCollection(
-            room_layout, class_labels, translations, sizes, angles)
         if name == "basic":
-            return DatasetCollection(class_labels, translations, sizes,
-                                     angles)
+            return EncodedRooms(
+                dataset, raw_room_sample(dataset, box_ordering,
+                                         with_layout=False),
+                [], scaled_output=False)
+        sample_fn = raw_room_sample(dataset, box_ordering)
 
-    if isinstance(augmentations, list):
-        for aug_type in augmentations:
-            if aug_type == "rotations":
-                dataset_collection = RotationAugmentation(dataset_collection)
-            elif aug_type == "jitter":
-                dataset_collection = Jitter(dataset_collection)
+    for aug in (augmentations or []):
+        if aug == "rotations":
+            pipeline.append(rotation_augmented(dataset.bounds))
+        elif aug == "jitter":
+            pipeline.append(jittered())
 
-    dataset_collection = Scale(dataset_collection)
+    pipeline.append(scaled(dataset.bounds))
     if "eval" in name:
-        return dataset_collection
-    elif "wocm_no_prm" in name:
-        return AutoregressiveWOCM(dataset_collection)
+        return EncodedRooms(dataset, sample_fn, pipeline, scaled_output=True)
+    if "wocm_no_prm" in name:
+        pipeline += [with_end_targets(), wocm_split()]
     elif "wocm" in name:
-        dataset_collection = Permutation(
-            dataset_collection,
-            ["class_labels", "translations", "sizes", "angles"])
-        return AutoregressiveWOCM(dataset_collection)
-    raise NotImplementedError(f"unknown encoding {name!r}")
+        pipeline += [permuted(), with_end_targets(), wocm_split()]
+    else:
+        raise NotImplementedError(f"unknown encoding {name!r}")
+    return EncodedRooms(dataset, sample_fn, pipeline, scaled_output=True)
 
 
-# --- top-level entry points (datasets/__init__.py:18-184) ---
+# ---------------------------------------------------------------------------
+# top-level entry points (reference ``datasets/__init__.py:18-75``)
 
 
 def get_raw_dataset(config, filter_fn=lambda s: s, path_to_bounds=None,
                     split=("train", "val")):
-    dataset_type = config["dataset_type"]
-    if "cached" in dataset_type:
-        splits_builder = CSVSplitsBuilder(config["annotation_file"])
-        split_scene_ids = splits_builder.get_splits(split)
+    if "cached" in config["dataset_type"]:
         return CachedThreedFrontRooms(
-            config["dataset_directory"], config=config,
-            scene_ids=split_scene_ids)
+            config["dataset_directory"], config,
+            read_splits(config["annotation_file"], split))
     return ThreedFront.from_dataset_directory(
         config["dataset_directory"],
         config["path_to_model_info"],
@@ -990,10 +950,10 @@ def get_raw_dataset(config, filter_fn=lambda s: s, path_to_bounds=None,
 def get_dataset_raw_and_encoded(config, filter_fn=lambda s: s,
                                 path_to_bounds=None, augmentations=None,
                                 split=("train", "val")):
-    dataset = get_raw_dataset(config, filter_fn, path_to_bounds, split=split)
+    dataset = get_raw_dataset(config, filter_fn, path_to_bounds, split)
     encoding = dataset_encoding_factory(
         config.get("encoding_type"), dataset, augmentations,
-        config.get("box_ordering", None))
+        config.get("box_ordering"))
     return dataset, encoding
 
 
@@ -1002,70 +962,3 @@ def get_encoded_dataset(config, filter_fn=lambda s: s, path_to_bounds=None,
     _, encoding = get_dataset_raw_and_encoded(
         config, filter_fn, path_to_bounds, augmentations, split)
     return encoding
-
-
-def filter_function(config, split=("train", "val"), without_lamps=False):
-    """(``datasets/__init__.py:78-184``)"""
-    if config["filter_fn"] == "no_filtering":
-        return lambda s: s
-    if config["filter_fn"] == "non_empty":
-        return lambda s: s if len(s.bboxes) > 0 else False
-
-    with open(config["path_to_invalid_scene_ids"]) as f:
-        invalid_scene_ids = set(l.strip() for l in f)
-    with open(config["path_to_invalid_bbox_jids"]) as f:
-        invalid_bbox_jids = set(l.strip() for l in f)
-    splits_builder = CSVSplitsBuilder(config["annotation_file"])
-    split_scene_ids = splits_builder.get_splits(split)
-    no_lamps = ["ceiling_lamp", "pendant_lamp"] if without_lamps else [""]
-
-    if "threed_front_bedroom" in config["filter_fn"]:
-        return BaseDataset.filter_compose(
-            BaseDataset.with_room("bed"),
-            BaseDataset.at_least_boxes(3),
-            BaseDataset.at_most_boxes(13),
-            BaseDataset.with_object_types(
-                list(THREED_FRONT_BEDROOM_FURNITURE.keys())),
-            BaseDataset.with_generic_classes(THREED_FRONT_BEDROOM_FURNITURE),
-            BaseDataset.with_valid_scene_ids(invalid_scene_ids),
-            BaseDataset.with_valid_bbox_jids(invalid_bbox_jids),
-            BaseDataset.contains_object_types(
-                ["double_bed", "single_bed", "kids_bed"]),
-            BaseDataset.room_smaller_than_along_axis(4.0, axis=1),
-            BaseDataset.room_larger_than_along_axis(-0.005, axis=1),
-            BaseDataset.floor_plan_with_limits(6, 6, axis=[0, 2]),
-            BaseDataset.without_box_types(no_lamps),
-            BaseDataset.with_scene_ids(split_scene_ids))
-    if "threed_front_livingroom" in config["filter_fn"] or \
-            "threed_front_diningroom" in config["filter_fn"]:
-        room = ("living" if "livingroom" in config["filter_fn"] else "dining")
-        return BaseDataset.filter_compose(
-            BaseDataset.with_room(room),
-            BaseDataset.at_least_boxes(3),
-            BaseDataset.at_most_boxes(21),
-            BaseDataset.with_object_types(
-                list(THREED_FRONT_LIVINGROOM_FURNITURE.keys())),
-            BaseDataset.with_generic_classes(
-                THREED_FRONT_LIVINGROOM_FURNITURE),
-            BaseDataset.with_valid_scene_ids(invalid_scene_ids),
-            BaseDataset.with_valid_bbox_jids(invalid_bbox_jids),
-            BaseDataset.room_smaller_than_along_axis(4.0, axis=1),
-            BaseDataset.room_larger_than_along_axis(-0.005, axis=1),
-            BaseDataset.floor_plan_with_limits(12, 12, axis=[0, 2]),
-            BaseDataset.without_box_types(no_lamps),
-            BaseDataset.with_scene_ids(split_scene_ids))
-    if "threed_front_library" in config["filter_fn"]:
-        return BaseDataset.filter_compose(
-            BaseDataset.with_room("library"),
-            BaseDataset.at_least_boxes(3),
-            BaseDataset.with_object_types(
-                list(THREED_FRONT_LIBRARY_FURNITURE.keys())),
-            BaseDataset.with_generic_classes(THREED_FRONT_LIBRARY_FURNITURE),
-            BaseDataset.with_valid_scene_ids(invalid_scene_ids),
-            BaseDataset.with_valid_bbox_jids(invalid_bbox_jids),
-            BaseDataset.room_smaller_than_along_axis(4.0, axis=1),
-            BaseDataset.room_larger_than_along_axis(-0.005, axis=1),
-            BaseDataset.floor_plan_with_limits(6, 6, axis=[0, 2]),
-            BaseDataset.without_box_types(no_lamps),
-            BaseDataset.with_scene_ids(split_scene_ids))
-    raise NotImplementedError(config["filter_fn"])

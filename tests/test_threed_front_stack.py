@@ -15,6 +15,9 @@ from lsdm_tpu.data import threed_front_scene as tfs
 from lsdm_tpu.fitting.meshio import write_obj
 from lsdm_tpu.ops.spiral import grid_mesh
 
+#: raw 3D-FRONT categories -> generic bedroom labels used by the fixture
+RAW_LABELS = ["king-size bed", "nightstand", "ceiling lamp"]
+
 
 def _quat_about_y(theta):
     """3D-FRONT stores placement quaternions as (x, y, z, w); the reference's
@@ -27,12 +30,11 @@ def _quat_about_y(theta):
 def raw_front(tmp_path, rng):
     """Two scene JSONs with 2 rooms each, a model library, model_info."""
     models = tmp_path / "models"
-    labels = ["double_bed", "nightstand", "wardrobe"]
     model_info = []
     v2, f = grid_mesh(3)
     # two stacked layers so the AABB has thickness in every axis
     v = np.concatenate([v2, v2 + np.array([0, 0, 0.3])])
-    for i, lab in enumerate(labels):
+    for i, lab in enumerate(RAW_LABELS):
         jid = f"jid{i}"
         os.makedirs(models / jid)
         write_obj(str(models / jid / "raw_model.obj"),
@@ -79,10 +81,57 @@ def raw_front(tmp_path, rng):
     return tmp_path
 
 
-def test_parse_and_raw_dataset(raw_front):
-    rooms = tfs.parse_threed_front_scenes(
+def _parse(raw_front):
+    return tfs.parse_threed_front_scenes(
         str(raw_front / "scenes"), str(raw_front / "model_info.json"),
         str(raw_front / "models"))
+
+
+def test_placement_geometry_quirks():
+    # the reference's cross([0,0,1], rot[1:]) read reduces to axis
+    # (-z, y, 0) with angle 2*arccos(w); the x component is ignored
+    axis, theta = tfs.placement_axis_angle([0.9, 0.5, 0.25, np.cos(0.4)])
+    np.testing.assert_allclose(axis, [-0.25, 0.5, 0.0])
+    np.testing.assert_allclose(theta, 0.8)
+
+    # wrap to (-pi, pi] with the sign of the y component
+    angles = tfs.placement_y_angles(np.array([
+        _quat_about_y(0.3),
+        _quat_about_y(-0.7),
+        _quat_about_y(4.0),         # theta >= pi wraps negative
+        [0.0, 0.0, 0.0, 1.0],       # identity -> 0
+        [0.0, 0.3, 0.0, 1.0 + 1e-9],  # |w| > 1 -> NaN theta -> 0
+    ]))
+    np.testing.assert_allclose(
+        angles, [0.3, -0.7, 4.0 - 2 * np.pi, 0.0, 0.0], atol=1e-6)
+
+    # non-y rotations are rejected like the reference's assert
+    with pytest.raises(ValueError):
+        tfs.placement_y_angles(np.array([[0.0, 0.2, 0.3, 0.9]]))
+
+
+def test_rodrigues_matches_quaternion_matrix(rng):
+    """Rodrigues formulation == the reference's expanded quaternion-product
+    matrix (threed_front_scene.py:36-46), here re-derived as the oracle."""
+    for _ in range(5):
+        axis = rng.randn(3)
+        theta = rng.uniform(-np.pi, np.pi)
+        a = np.cos(theta / 2.0)
+        b, c, d = -(axis / np.linalg.norm(axis)) * np.sin(theta / 2.0)
+        oracle = np.array([
+            [a * a + b * b - c * c - d * d, 2 * (b * c + a * d),
+             2 * (b * d - a * c)],
+            [2 * (b * c - a * d), a * a + c * c - b * b - d * d,
+             2 * (c * d + a * b)],
+            [2 * (b * d + a * c), 2 * (c * d - a * b),
+             a * a + d * d - b * b - c * c],
+        ])
+        np.testing.assert_allclose(
+            tfs.rotation_about(axis, theta), oracle, atol=1e-12)
+
+
+def test_parse_and_raw_dataset(raw_front):
+    rooms = _parse(raw_front)
     assert len(rooms) == 4  # 2 scenes x 2 rooms, unique instanceids
     room = rooms[0]
     assert room.scene_type == "bedroom"
@@ -94,8 +143,20 @@ def test_parse_and_raw_dataset(raw_front):
     v, f = room.floor_plan
     assert v.shape == (4, 3) and f.shape == (2, 3)
     np.testing.assert_allclose(room.floor_plan_centroid, [0, 0, 0], atol=1e-6)
-    # sizes are half extents of the transformed AABB corners
-    assert np.all(room.bboxes[0].size > 0)
+    # closed-form size == the reference's corner-distance formulation
+    for b in room.bboxes:
+        c = b.corners()
+        corner_size = np.array([
+            np.linalg.norm(c[4] - c[0]) / 2,
+            np.linalg.norm(c[2] - c[0]) / 2,
+            np.linalg.norm(c[1] - c[0]) / 2,
+        ])
+        np.testing.assert_allclose(b.size, corner_size, atol=1e-9)
+        assert np.all(b.size > 0)
+    # centroid == mean of transformed corners
+    np.testing.assert_allclose(
+        room.bboxes[1].centroid(), room.bboxes[1].corners().mean(0),
+        atol=1e-9)
 
     ds = tfd.ThreedFront(rooms)
     assert ds.n_object_types == 3
@@ -107,20 +168,18 @@ def test_parse_and_raw_dataset(raw_front):
 
 
 def test_filters_and_encoding_chain(raw_front):
-    rooms = tfs.parse_threed_front_scenes(
-        str(raw_front / "scenes"), str(raw_front / "model_info.json"),
-        str(raw_front / "models"))
-    filter_fn = tfd.BaseDataset.filter_compose(
-        tfd.BaseDataset.with_room("bed"),
-        tfd.BaseDataset.at_least_boxes(2),
-        tfd.BaseDataset.at_most_boxes(13),
-        tfd.BaseDataset.contains_object_types(["double_bed"]),
+    rooms = _parse(raw_front)
+    filter_fn = tfd.compose_filters(
+        tfd.room_type_contains("bed"),
+        tfd.at_least_boxes(2),
+        tfd.at_most_boxes(13),
+        tfd.contains_any_label(["king-size bed"]),
     )
     ds = tfd.ThreedFront([s for s in map(filter_fn, rooms) if s])
     assert len(ds) == 4
 
     np.random.seed(0)
-    enc = tfd.dataset_encoding_factory("autoregressive_wocm", _Patched(ds))
+    enc = tfd.dataset_encoding_factory("autoregressive_wocm", ds)
     sample = enc[0]
     # context boxes + single *_tr target row per property
     assert sample["class_labels"].shape[1] == ds.n_classes
@@ -136,9 +195,12 @@ def test_filters_and_encoding_chain(raw_front):
     assert batch["class_labels_tr"].shape[1] == 1  # singleton box axis
     assert batch["lengths"].shape == (3,)
 
-    ev = tfd.dataset_encoding_factory("eval", _Patched(ds))
+    ev = tfd.dataset_encoding_factory("eval", ds)
     s = ev[0]
     assert s["class_labels"].shape[0] == 3  # all boxes, no split
+    # rooms without a mask render get the constant fallback layout
+    assert s["room_layout"].shape == (1, tfd.DEFAULT_LAYOUT_SIZE,
+                                      tfd.DEFAULT_LAYOUT_SIZE)
     # post_process descales back to metric units
     restored = ev.post_process(
         {"translations": s["translations"], "class_labels": s["class_labels"]})
@@ -147,19 +209,81 @@ def test_filters_and_encoding_chain(raw_front):
     assert np.all(restored["translations"] <= hi + 1e-5)
 
 
-class _Patched(tfd.DatasetDecoratorBase):
-    """Raw rooms have no room-mask PNG in this fixture: serve a constant
-    layout; everything else passes through to the real dataset."""
+def test_filter_function_spec_table(raw_front):
+    """The bedroom filter chain end-to-end: vocabulary gate, relabeling,
+    invalid-id and split filtering, lamp removal."""
+    (raw_front / "invalid_scenes.txt").write_text("room_1_1\n")
+    (raw_front / "invalid_jids.txt").write_text("not_a_real_jid\n")
+    (raw_front / "splits.csv").write_text(
+        "room_0_0,train\nroom_0_1,train\nroom_1_0,val\nroom_1_1,train\n")
+    config = {
+        "filter_fn": "threed_front_bedroom",
+        "path_to_invalid_scene_ids": str(raw_front / "invalid_scenes.txt"),
+        "path_to_invalid_bbox_jids": str(raw_front / "invalid_jids.txt"),
+        "annotation_file": str(raw_front / "splits.csv"),
+    }
+    fn = tfd.filter_function(config, split=["train"], without_lamps=True)
+    kept = [s for s in map(fn, _parse(raw_front)) if s]
+    # train split minus the invalid scene id
+    assert sorted(r.scene_id for r in kept) == ["room_0_0", "room_0_1"]
+    # raw categories remapped to the generic vocabulary, lamp dropped
+    assert all(r.furniture_in_room == ["double_bed", "nightstand"]
+               for r in kept)
 
-    def __getitem__(self, idx):
-        room = self._dataset[idx]
-        room.__class__.room_mask = property(
-            lambda self: np.ones((32, 32, 3), np.float32))
-        return room
+    # trivial modes
+    assert tfd.filter_function({"filter_fn": "no_filtering"})("x") == "x"
+    assert tfd.filter_function({"filter_fn": "non_empty"})(kept[0]) is kept[0]
 
-    @property
-    def bounds(self):
-        return self._dataset.bounds
+
+def test_future_models_and_retrieval_augment(raw_front):
+    models = tfs.parse_threed_future_models(
+        str(raw_front / "scenes"), str(raw_front / "models"),
+        str(raw_front / "model_info.json"))
+    assert sorted(m.uid for m in models) == ["u0", "u1", "u2"]  # unique uids
+
+    from lsdm_tpu.data.threed_front import ThreedFutureDataset
+
+    library = ThreedFutureDataset(models)
+    room = _parse(raw_front)[0]
+    np.random.seed(3)
+    augmented = room.augment_room(library)
+    assert augmented.scene_id == room.scene_id + "_augm"
+    assert augmented.nobjects == room.nobjects
+    assert sorted(augmented.furniture_in_room) == sorted(
+        room.furniture_in_room)
+
+
+def test_rotation_augmentation_and_jitter(raw_front):
+    ds = tfd.ThreedFront(_parse(raw_front))
+    base = tfd.raw_room_sample(ds)(0)
+    np.random.seed(5)  # first rand() < 0.5 draw decides; rotate when it hits
+    rotated = tfd.rotation_augmented(ds.bounds)(
+        {k: np.copy(v) for k, v in base.items()})
+    # rotation preserves distances from the room origin
+    np.testing.assert_allclose(
+        np.linalg.norm(rotated["translations"], axis=-1),
+        np.linalg.norm(base["translations"], axis=-1), atol=1e-5)
+    lo = ds.bounds["angles"][0]
+    assert np.all(rotated["angles"] >= lo)
+    assert np.all(rotated["angles"] < lo + 2 * np.pi)
+
+    jit = tfd.jittered()({k: np.copy(v) for k, v in base.items()})
+    # reference quirk: ONE scalar draw per property, added uniformly
+    delta = jit["translations"] - base["translations"]
+    np.testing.assert_allclose(delta, delta.flat[0], atol=1e-6)
+    np.testing.assert_allclose(jit["class_labels"], base["class_labels"])
+
+
+def test_scene_pickle_cache(raw_front, tmp_path):
+    cache = str(tmp_path / "scenes.pkl")
+    first = tfs.parse_threed_front_scenes(
+        str(raw_front / "scenes"), str(raw_front / "model_info.json"),
+        str(raw_front / "models"), cache_path=cache)
+    assert os.path.exists(cache)
+    again = tfs.parse_threed_front_scenes(
+        "/nonexistent", "", "", cache_path=cache)  # served from the pickle
+    assert len(again) == len(first)
+    assert again[0].scene_id == first[0].scene_id
 
 
 def test_cached_rooms_path(tmp_path, rng):
