@@ -135,15 +135,69 @@ def bytes_to_unicode():
     return dict(zip(bs, [chr(c) for c in cs]))
 
 
+#: in-repo location for the CLIP BPE asset (not shipped; see
+#: :func:`resolve_clip_bpe`)
+CLIP_BPE_ASSET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "assets", "bpe_simple_vocab_16e6.txt.gz")
+
+#: how to provide the asset, shown in warnings/errors
+CLIP_BPE_HELP = (
+    "Provide the CLIP BPE merges via --bpe_path (the OpenAI "
+    "bpe_simple_vocab_16e6.txt.gz, an HF merges.txt, or a directory/HF "
+    "snapshot containing merges.txt), set $LSDM_TPU_CLIP_BPE, or place the "
+    f"file at {CLIP_BPE_ASSET}. An HF cache of any CLIP model "
+    "(~/.cache/huggingface) is also auto-detected."
+)
+
+
+def resolve_clip_bpe(path: Optional[str] = None) -> Optional[str]:
+    """Locate a CLIP BPE merges source without network access.
+
+    Search order: explicit ``path`` (a merges file, or a directory holding
+    ``merges.txt``), the ``LSDM_TPU_CLIP_BPE`` env var, the in-repo asset
+    (``data/assets/bpe_simple_vocab_16e6.txt.gz``), then any CLIP model's
+    ``merges.txt`` in the HuggingFace hub cache.  HF merges files carry the
+    same 48,894 learned merges as OpenAI's gz (the vocab is reconstructed
+    from them deterministically), so either source is parity-grade.
+    Returns a path consumable by :class:`SimpleTokenizer`, or None.
+    """
+    def as_file(p):
+        if p and os.path.isdir(p):
+            p = os.path.join(p, "merges.txt")
+        return p if p and os.path.isfile(p) else None
+
+    for candidate in (path, os.environ.get("LSDM_TPU_CLIP_BPE"),
+                      CLIP_BPE_ASSET):
+        found = as_file(candidate)
+        if found:
+            return found
+    hub = os.path.expanduser(
+        os.environ.get("HF_HOME", "~/.cache/huggingface"))
+    for root in (os.path.join(hub, "hub"), hub):
+        if not os.path.isdir(root):
+            continue
+        for model_dir in sorted(os.listdir(root)):
+            if "clip" not in model_dir.lower():
+                continue
+            for dirpath, _, files in os.walk(os.path.join(root, model_dir)):
+                if "merges.txt" in files:
+                    return os.path.join(dirpath, "merges.txt")
+    return None
+
+
 class SimpleTokenizer:
-    """CLIP BPE tokenizer; requires the public merges file
-    (``bpe_simple_vocab_16e6.txt.gz``) on disk."""
+    """CLIP BPE tokenizer over the public merges list — either OpenAI's
+    gzipped ``bpe_simple_vocab_16e6.txt.gz`` or an HF ``merges.txt``
+    (identical merges; both drop a header line)."""
 
     def __init__(self, bpe_path: str):
         import regex as re  # standard dependency of the BPE scheme
 
         self.re = re
-        merges = gzip.open(bpe_path).read().decode("utf-8").split("\n")
+        opener = gzip.open if bpe_path.endswith(".gz") else open
+        with opener(bpe_path, "rb") as f:
+            merges = f.read().decode("utf-8").split("\n")
         merges = merges[1 : 49152 - 256 - 2 + 1]
         # drop blank tails (files smaller than the canonical 48894 merges)
         merges = [tuple(m.split()) for m in merges if m.strip()]
@@ -284,21 +338,28 @@ class TextEncoder:
         bpe_path: Optional[str] = None,
         cache: Optional[dict] = None,
         seed: int = 0,
+        require_parity: bool = False,
     ):
         self.encoder_type = encoder_type
         self.dim = dim
         self.cache = cache or {}
         if encoder_type == "CLIP":
-            if bpe_path and os.path.exists(bpe_path):
-                self.tokenizer = SimpleTokenizer(bpe_path)
+            resolved = resolve_clip_bpe(bpe_path)
+            if resolved:
+                self.tokenizer = SimpleTokenizer(resolved)
+            elif require_parity:
+                raise RuntimeError(
+                    "CLIP text encoder requested for a parity-grade "
+                    "evaluation but no BPE merges asset was found. "
+                    + CLIP_BPE_HELP)
             else:
                 import warnings
 
                 warnings.warn(
-                    "CLIP text encoder requested without a BPE merges file "
-                    "(--bpe_path): falling back to the hash tokenizer. "
-                    "Embeddings will NOT match released checkpoints — "
-                    "checkpoint-parity claims require the CLIP BPE asset.",
+                    "CLIP text encoder requested without a BPE merges "
+                    "source: falling back to the hash tokenizer. "
+                    "Embeddings will NOT match released checkpoints. "
+                    + CLIP_BPE_HELP,
                     stacklevel=2,
                 )
                 self.tokenizer = HashTokenizer()
@@ -313,19 +374,43 @@ class TextEncoder:
             )
         elif encoder_type == "BERT":
             # reference alternative (model/sdm.py:261-285): frozen BERT-base
-            # pooler output.  Pretrained weights require a download the
-            # environment may not have; random init is flagged at call time.
+            # pooler output.  Uses the locally cached pretrained model +
+            # tokenizer when available; otherwise random init + hash
+            # tokenizer (flagged — not parity-grade).
             from transformers import BertConfig, FlaxBertModel
 
-            config = BertConfig(hidden_size=dim if dim == 768 else 768)
-            self._bert = FlaxBertModel(config, seed=seed)
+            self._bert_tok = None
+            try:
+                from transformers import BertTokenizerFast
+
+                self._bert = FlaxBertModel.from_pretrained(
+                    "bert-base-uncased", local_files_only=True)
+                self._bert_tok = BertTokenizerFast.from_pretrained(
+                    "bert-base-uncased", local_files_only=True)
+            except Exception:
+                if require_parity:
+                    raise RuntimeError(
+                        "BERT text encoder requested for a parity-grade "
+                        "evaluation but no cached bert-base-uncased model "
+                        "was found (offline environment). Populate the "
+                        "HuggingFace cache (~/.cache/huggingface) with "
+                        "bert-base-uncased first.")
+                import warnings
+
+                warnings.warn(
+                    "no cached bert-base-uncased found: using a random-init "
+                    "BERT + hash tokenizer. Embeddings will NOT match the "
+                    "reference's pretrained tower.", stacklevel=2)
+                config = BertConfig(hidden_size=dim if dim == 768 else 768)
+                self._bert = FlaxBertModel(config, seed=seed)
+                self.tokenizer = HashTokenizer(
+                    vocab_size=config.vocab_size)
             self._bert_proj = None
             if dim != 768:
                 rng = np.random.RandomState(seed)
                 self._bert_proj = (
                     rng.randn(768, dim).astype(np.float32) / np.sqrt(768)
                 )
-            self.tokenizer = HashTokenizer(vocab_size=config.vocab_size)
         elif encoder_type == "HASH":
             rng = np.random.RandomState(seed)
             self._table = rng.randn(4096, dim).astype(np.float32) / np.sqrt(dim)
@@ -343,9 +428,18 @@ class TextEncoder:
                 toks = tokenize_batch(self.tokenizer, uncached)
                 embs = np.asarray(self._apply(self.params, jnp.asarray(toks)))
             elif self.encoder_type == "BERT":
-                toks = tokenize_batch(self.tokenizer, uncached, 20, 32)
-                out = self._bert(input_ids=toks,
-                                 attention_mask=(toks > 0).astype(np.int32))
+                if self._bert_tok is not None:
+                    enc = self._bert_tok(
+                        list(uncached), padding="max_length",
+                        truncation=True, max_length=32,
+                        return_tensors="np")
+                    out = self._bert(input_ids=enc["input_ids"],
+                                     attention_mask=enc["attention_mask"])
+                else:
+                    toks = tokenize_batch(self.tokenizer, uncached, 20, 32)
+                    out = self._bert(
+                        input_ids=toks,
+                        attention_mask=(toks > 0).astype(np.int32))
                 embs = np.asarray(out.pooler_output)
                 if self._bert_proj is not None:
                     embs = embs @ self._bert_proj

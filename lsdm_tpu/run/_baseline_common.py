@@ -73,7 +73,8 @@ def build_model(kind: str, num_classes: int, args=None):
         # faithful torchvision extractors + the reference's transformer-axis
         # bug, for converted-checkpoint parity (models/atiss.py docstrings)
         kw = dict(
-            feature_extractor_name=getattr(args, "feature_extractor", "simple"),
+            feature_extractor_name=getattr(args, "feature_extractor", None)
+            or "simple",
             freeze_bn=not getattr(args, "no_freeze_bn", False),
             torch_seq_axis_quirk=getattr(args, "torch_seq_axis_quirk", False),
         )
@@ -95,6 +96,7 @@ def train_baseline(args, kind: str):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    resolve_parity_flags(args)
 
     num_cats = cfg_lib.num_cats_for(args.datatype)
     ds_cls = ProxDatasetTxt if args.datatype == "proxd" else Humanise
@@ -198,6 +200,7 @@ def eval_baseline(args, kind: str):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    resolve_parity_flags(args)
 
     num_cats = cfg_lib.num_cats_for(args.datatype)
     ds_cls = ProxDatasetTxt if args.datatype == "proxd" else Humanise
@@ -214,8 +217,8 @@ def eval_baseline(args, kind: str):
     state = create_train_state(variables, make_optimizer())
     if args.load_model and args.load_model.endswith(".pt"):
         # reference torch checkpoint ({'model_state_dict': ...},
-        # run/train_atiss.py:333); needs --feature_extractor resnet18 and
-        # --torch_seq_axis_quirk for faithful eval of LSDM-trained baselines
+        # run/train_atiss.py:333); resolve_parity_flags already defaulted
+        # the graph to resnet18 + torch_seq_axis_quirk for faithful eval
         import torch
 
         ckpt = torch.load(args.load_model, map_location="cpu",
@@ -361,13 +364,35 @@ def make_arg_parser(train: bool):
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--feature_extractor", default="simple",
+    ap.add_argument("--feature_extractor", default=None,
                     choices=["simple", "resnet18", "alexnet"],
-                    help="room-layout extractor; resnet18 matches the "
-                         "reference default (networks/__init__.py:78)")
+                    help="room-layout extractor; default: resnet18 when "
+                         "loading a torch .pt (the reference default, "
+                         "networks/__init__.py:78), else simple")
     ap.add_argument("--no_freeze_bn", action="store_true",
                     help="train resnet18 BN live instead of frozen stats")
-    ap.add_argument("--torch_seq_axis_quirk", action="store_true",
-                    help="reproduce the LSDM fork's batch-axis attention "
-                         "(needed when evaluating converted LSDM baselines)")
+    ap.add_argument("--torch_seq_axis_quirk", default=None,
+                    action=argparse.BooleanOptionalAction,
+                    help="reproduce the LSDM fork's batch-axis attention; "
+                         "default: on when loading a torch .pt (converted "
+                         "LSDM baselines need it), else off")
     return ap
+
+
+def resolve_parity_flags(args) -> None:
+    """Make converted-checkpoint eval un-fumbleable: a reference ``.pt``
+    silently produces wrong numbers unless the graph uses the torchvision
+    resnet18 extractor and the LSDM fork's batch-axis attention quirk, so
+    both default ON exactly when a ``.pt`` is being loaded.  Explicit flags
+    always win (``--feature_extractor simple`` /
+    ``--no-torch_seq_axis_quirk`` opt back out)."""
+    loading_pt = bool(getattr(args, "load_model", None)
+                      and args.load_model.endswith(".pt"))
+    if args.feature_extractor is None:
+        args.feature_extractor = "resnet18" if loading_pt else "simple"
+        if loading_pt:
+            print("auto: --feature_extractor resnet18 (torch checkpoint)")
+    if args.torch_seq_axis_quirk is None:
+        args.torch_seq_axis_quirk = loading_pt
+        if loading_pt:
+            print("auto: --torch_seq_axis_quirk (torch checkpoint)")

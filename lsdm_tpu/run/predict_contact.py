@@ -19,7 +19,8 @@ def main():
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--diffusion_steps", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=1)
-    ap.add_argument("--text_encoder", default="HASH", choices=["CLIP", "HASH"])
+    ap.add_argument("--text_encoder", default="HASH",
+                    choices=["CLIP", "BERT", "HASH"])
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 

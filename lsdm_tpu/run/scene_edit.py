@@ -56,7 +56,8 @@ def main():
     ap.add_argument("--diffusion_steps", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--icp_tries", type=int, default=64)
-    ap.add_argument("--text_encoder", default="HASH", choices=["CLIP", "HASH"])
+    ap.add_argument("--text_encoder", default="HASH",
+                    choices=["CLIP", "BERT", "HASH"])
     ap.add_argument("--bpe_path", default=None)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--pcd_points", type=int, default=None,

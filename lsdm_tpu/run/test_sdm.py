@@ -28,7 +28,8 @@ def main():
     ap.add_argument("--use_ddim", action="store_true")
     ap.add_argument("--timestep_respacing", default="")
     ap.add_argument("--diffusion_steps", type=int, default=1000)
-    ap.add_argument("--text_encoder", default="HASH", choices=["CLIP", "HASH"])
+    ap.add_argument("--text_encoder", default="HASH",
+                    choices=["CLIP", "BERT", "HASH"])
     ap.add_argument("--bpe_path", default=None)
     ap.add_argument("--clip_weights", default=None,
                     help="torch CLIP .pt/.bin to convert for the text tower "
@@ -102,13 +103,17 @@ def main():
     text_encoder = TextEncoder(
         args.text_encoder, dim=model_cfg.clip_dim, bpe_path=args.bpe_path,
         params=clip_params,
+        # evaluating a checkpoint with a mismatched tokenizer silently
+        # produces wrong numbers: refuse instead (models/text.py)
+        require_parity=bool(args.load_model)
+        and args.text_encoder in ("CLIP", "BERT"),
     )
-    if args.load_model and args.text_encoder != "CLIP":
+    if args.load_model and args.text_encoder == "HASH":
         print(
-            "WARNING: evaluating a checkpoint with --text_encoder "
-            f"{args.text_encoder}; prompt embeddings will not match the "
-            "reference CLIP tower. Use --text_encoder CLIP with --bpe_path "
-            "and --clip_weights for parity-grade numbers."
+            "WARNING: evaluating a checkpoint with --text_encoder HASH; "
+            "prompt embeddings will not match the reference CLIP tower. "
+            "Use --text_encoder CLIP with --clip_weights (and a BPE merges "
+            "source, auto-detected when available) for parity-grade numbers."
         )
 
     # --- load weights

@@ -26,7 +26,8 @@ def main():
     ap.add_argument("--eval_every", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mesh", default=None, help="e.g. 4x2 = data x model axes")
-    ap.add_argument("--text_encoder", default="HASH", choices=["CLIP", "HASH"])
+    ap.add_argument("--text_encoder", default="HASH",
+                    choices=["CLIP", "BERT", "HASH"])
     ap.add_argument("--bpe_path", default=None)
     ap.add_argument("--load_ckpt", default=None)
     ap.add_argument("--ema_rate", type=float, default=0.0,

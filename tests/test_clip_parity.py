@@ -227,3 +227,90 @@ def test_tokenize_batch_pad_scheme_with_bpe(tmp_path):
     # truncation: 20 body tokens max, EOT at index 21
     assert out[1, 21] == tok.eot
     assert (out[1, 22:] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# BPE asset resolution + parity-eval guards (VERDICT r02 item 2)
+
+
+def test_simple_tokenizer_reads_hf_merges_txt(tmp_path):
+    """An HF merges.txt is the same merges list as the OpenAI gz; both
+    sources must tokenize identically."""
+    merges_gz, _, merges_txt = _synthetic_bpe(tmp_path)
+    a = SimpleTokenizer(str(merges_gz))
+    b = SimpleTokenizer(str(merges_txt))
+    for p in ["place the chair on the table", "chairs, tables!"]:
+        assert a.encode(p) == b.encode(p)
+    assert a.sot == b.sot and a.eot == b.eot
+
+
+def test_resolve_clip_bpe_sources(tmp_path, monkeypatch):
+    from lsdm_tpu.models import text as text_lib
+
+    monkeypatch.delenv("LSDM_TPU_CLIP_BPE", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty_hf"))
+    monkeypatch.setattr(text_lib, "CLIP_BPE_ASSET",
+                        str(tmp_path / "no_asset.gz"))
+    assert text_lib.resolve_clip_bpe(None) is None
+
+    merges_gz, _, merges_txt = _synthetic_bpe(tmp_path)
+    # explicit file wins
+    assert text_lib.resolve_clip_bpe(str(merges_gz)) == str(merges_gz)
+    # a directory containing merges.txt resolves to it
+    assert text_lib.resolve_clip_bpe(str(tmp_path)) == str(merges_txt)
+    # env var
+    monkeypatch.setenv("LSDM_TPU_CLIP_BPE", str(merges_gz))
+    assert text_lib.resolve_clip_bpe(None) == str(merges_gz)
+    monkeypatch.delenv("LSDM_TPU_CLIP_BPE")
+    # HF hub cache layout: <HF_HOME>/hub/models--*clip*/snapshots/x/merges.txt
+    snap = (tmp_path / "hf" / "hub" / "models--openai--clip-vit-base-patch32"
+            / "snapshots" / "abc")
+    snap.mkdir(parents=True)
+    (snap / "merges.txt").write_text(merges_txt.read_text())
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "hf"))
+    found = text_lib.resolve_clip_bpe(None)
+    assert found is not None and found.endswith("merges.txt")
+
+
+def test_text_encoder_parity_guard(tmp_path, monkeypatch):
+    """require_parity refuses to silently substitute the hash tokenizer."""
+    import pytest
+
+    from lsdm_tpu.models import text as text_lib
+
+    monkeypatch.delenv("LSDM_TPU_CLIP_BPE", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty_hf"))
+    monkeypatch.setattr(text_lib, "CLIP_BPE_ASSET",
+                        str(tmp_path / "no_asset.gz"))
+    with pytest.raises(RuntimeError, match="BPE merges"):
+        text_lib.TextEncoder("CLIP", dim=16, require_parity=True)
+    # non-strict path still works (flagged fallback)
+    with pytest.warns(UserWarning, match="hash tokenizer"):
+        enc = text_lib.TextEncoder("CLIP", dim=16)
+    assert enc.encode(["a chair"]).shape == (1, 16)
+
+
+def test_resolve_parity_flags_auto():
+    """Loading a reference .pt defaults the graph to resnet18 + the
+    batch-axis quirk; explicit flags win; our .ckpt stays plain."""
+    from argparse import Namespace
+
+    from lsdm_tpu.run._baseline_common import resolve_parity_flags
+
+    a = Namespace(load_model="m.pt", feature_extractor=None,
+                  torch_seq_axis_quirk=None)
+    resolve_parity_flags(a)
+    assert a.feature_extractor == "resnet18"
+    assert a.torch_seq_axis_quirk is True
+
+    b = Namespace(load_model="m.pt", feature_extractor="simple",
+                  torch_seq_axis_quirk=False)
+    resolve_parity_flags(b)
+    assert b.feature_extractor == "simple"
+    assert b.torch_seq_axis_quirk is False
+
+    c = Namespace(load_model="m.ckpt", feature_extractor=None,
+                  torch_seq_axis_quirk=None)
+    resolve_parity_flags(c)
+    assert c.feature_extractor == "simple"
+    assert c.torch_seq_axis_quirk is False
