@@ -60,6 +60,11 @@ class SDMConfig:
     fps_mode: str = "auto"
     # Compute dtype for the denoiser body (params stay fp32).
     dtype: str = "float32"
+    # BatchNorm compute dtype in the PointNet++ backbone ("float32" or
+    # "bfloat16").  fp32 matches reference numerics; bf16 halves the HBM
+    # traffic of the grouped-buffer BN boundaries (train-mode batch
+    # reductions force materialization) — see PERF.md.
+    bn_dtype: str = "float32"
 
 
 def sdm_proxd() -> SDMConfig:

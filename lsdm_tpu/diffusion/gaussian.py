@@ -143,6 +143,7 @@ def training_losses(
     noise: jax.Array,
     lambda_cat: float = 0.1,
     mean_type: str = MEAN_START_X,
+    chamfer_impl: str = "xla",
 ):
     """LSDM training loss (reference ``gaussian_diffusion.py:1256-1342``):
 
@@ -152,6 +153,11 @@ def training_losses(
     (``model/sdm.py:75``) and the CE loss then applies log_softmax *again*
     (``gaussian_diffusion.py:158,1299``) — i.e. CE over probabilities used as
     logits.  Trained checkpoints bake this in, so we keep it.
+
+    ``chamfer_impl``: "xla" (default) or "pallas" — the Pallas TPU kernel
+    (`ops/chamfer_pallas.py`) streams the NxM distance matrix through VMEM
+    instead of materializing it, with an index-gather backward pass
+    (mathematically identical loss/gradients).
 
     Returns a dict with ``loss``, ``mse`` (chamfer) and ``cat_loss`` terms.
     """
@@ -173,7 +179,15 @@ def training_losses(
 
     # pytorch3d chamfer semantics: both directions summed, mean over points
     # and batch (reference gaussian_diffusion.py:1334).
-    mse = chamfer_distance(model_out.x0.astype(jnp.float32), target.astype(jnp.float32))
+    if chamfer_impl == "pallas" and x_start.shape[1] % 128 == 0:
+        from lsdm_tpu.ops.chamfer_pallas import chamfer_distance_pallas
+
+        mse = chamfer_distance_pallas(
+            model_out.x0.astype(jnp.float32), target.astype(jnp.float32),
+            jax.default_backend() != "tpu")  # interpret off-TPU
+    else:  # xla impl; also the fallback for non-128-multiple clouds
+        mse = chamfer_distance(
+            model_out.x0.astype(jnp.float32), target.astype(jnp.float32))
     return {"loss": mse + cat_loss, "mse": mse, "cat_loss": cat_loss}
 
 

@@ -31,10 +31,17 @@ from lsdm_tpu.ops.pointcloud import (
 
 class ConvBNBlock(nn.Module):
     """1x1 conv (= Dense over channels) + BatchNorm + ReLU, the unit of both
-    SA and FP MLPs (reference ``pointnet2_utils.py:167-169,268-270``)."""
+    SA and FP MLPs (reference ``pointnet2_utils.py:167-169,268-270``).
+
+    ``bn_dtype`` controls the BatchNorm compute dtype (params/stats stay
+    fp32).  Default fp32 matches the reference numerics; bf16 keeps the
+    grouped (B, S, K, C) buffers half-width through the BN boundaries —
+    in train mode BN's batch reductions force materialization, so this
+    halves the dominant HBM traffic of the backbone (PERF.md)."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -43,7 +50,7 @@ class ConvBNBlock(nn.Module):
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.bn_dtype,
             name="bn",
         )(x)
         return nn.relu(x)
@@ -61,6 +68,7 @@ class PointNetSetAbstraction(nn.Module):
     # on); "exact": always run the reference's sequential selection.
     fps_mode: str = "auto"
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -86,7 +94,7 @@ class PointNetSetAbstraction(nn.Module):
         else:
             new_points = grouped_xyz
         for i, feats in enumerate(self.mlp):
-            new_points = ConvBNBlock(feats, dtype=self.dtype, name=f"mlp_{i}")(
+            new_points = ConvBNBlock(feats, dtype=self.dtype, bn_dtype=self.bn_dtype, name=f"mlp_{i}")(
                 new_points, train
             )
         new_points = jnp.max(new_points, axis=2)  # maxpool over the K samples
@@ -98,6 +106,7 @@ class PointNetFeaturePropagation(nn.Module):
 
     mlp: Sequence[int]
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -120,7 +129,7 @@ class PointNetFeaturePropagation(nn.Module):
         else:
             new_points = interpolated
         for i, feats in enumerate(self.mlp):
-            new_points = ConvBNBlock(feats, dtype=self.dtype, name=f"mlp_{i}")(
+            new_points = ConvBNBlock(feats, dtype=self.dtype, bn_dtype=self.bn_dtype, name=f"mlp_{i}")(
                 new_points, train
             )
         return new_points
@@ -138,6 +147,7 @@ class PointNet2Backbone(nn.Module):
     sa_nsample: int = 32
     fps_mode: str = "auto"
     dtype: jnp.dtype = jnp.float32
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -152,25 +162,25 @@ class PointNet2Backbone(nn.Module):
         l0_xyz, l0_points = xyz, xyz
         p1, p2, p3, p4 = self.sa_npoints
         ns = self.sa_nsample
-        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, name="sa1")
-        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, name="sa2")
-        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, name="sa3")
-        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, name="sa4")
+        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, name="sa1")
+        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, name="sa2")
+        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, name="sa3")
+        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, name="sa4")
         l1_xyz, l1_points = sa1(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = sa2(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = sa3(l2_xyz, l2_points, train, keys[2])
         l4_xyz, l4_points = sa4(l3_xyz, l3_points, train, keys[3])
 
-        fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, name="fp4")
-        fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, name="fp3")
-        fp2 = PointNetFeaturePropagation((256, 128), dtype=self.dtype, name="fp2")
-        fp1 = PointNetFeaturePropagation((128, 128, 128), dtype=self.dtype, name="fp1")
+        fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, name="fp4")
+        fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, name="fp3")
+        fp2 = PointNetFeaturePropagation((256, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, name="fp2")
+        fp1 = PointNetFeaturePropagation((128, 128, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, name="fp1")
         l3_points = fp4(l3_xyz, l4_xyz, l3_points, l4_points, train)
         l2_points = fp3(l2_xyz, l3_xyz, l2_points, l3_points, train)
         l1_points = fp2(l1_xyz, l2_xyz, l1_points, l2_points, train)
         l0_points = fp1(l0_xyz, l1_xyz, None, l1_points, train)
 
-        x = ConvBNBlock(128, dtype=self.dtype, name="head")(l0_points, train)
+        x = ConvBNBlock(128, dtype=self.dtype, bn_dtype=self.bn_dtype, name="head")(l0_points, train)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="conv2")(x)
         return x

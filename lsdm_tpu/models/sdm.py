@@ -121,6 +121,7 @@ class SceneDiffusionModel(nn.Module):
                 sa_nsample=min(32, N),
                 fps_mode=cfg.fps_mode,
                 dtype=dtype,
+                bn_dtype=jnp.dtype(cfg.bn_dtype),
             )
         self.combine_extraction = MLP((D,), ("gelu",), dtype=dtype)
         self.input_process = InputProcess(cfg.xyz_dim, D, dtype=dtype)

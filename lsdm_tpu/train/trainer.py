@@ -41,6 +41,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     lambda_cat: float = 0.1,
     ema_rate: float = 0.0,
+    chamfer_impl: str = "xla",
 ):
     """Returns jitted ``step(state, batch_arrays, text_emb, key) ->
     (state, metrics)``.  ``state`` is donated.  ``ema_rate > 0`` maintains
@@ -68,7 +69,7 @@ def make_train_step(
 
             terms = training_losses(
                 schedule, model_fn, target, t, target_cat, noise,
-                lambda_cat=lambda_cat,
+                lambda_cat=lambda_cat, chamfer_impl=chamfer_impl,
             )
             return terms["loss"], (terms, mutated["batch_stats"])
 

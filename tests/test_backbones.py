@@ -67,3 +67,30 @@ def test_sdm_with_alternate_backbones(rng):
     assert out.x0.shape == (B, N, 3)
     assert out.cat.shape == (B, 1, 13)
     assert np.isfinite(np.asarray(out.x0)).all()
+
+
+def test_pointnet2_bn_dtype_bf16_close(rng):
+    """bn_dtype=bfloat16 keeps params/stats fp32 and stays numerically close
+    to the fp32-BN path (it only changes compute/materialization width)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lsdm_tpu.models.pointnet2 import PointNet2Backbone
+
+    xyz = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+    kw = dict(out_dim=3, sa_npoints=(64, 16, 4, 2), sa_nsample=16)
+    ref = PointNet2Backbone(**kw)
+    alt = PointNet2Backbone(bn_dtype=jnp.bfloat16, **kw)
+    variables = ref.init(jax.random.PRNGKey(0), xyz)
+    # identical param tree (bn_dtype must not change structure or dtypes)
+    chex_tree = jax.tree.map(lambda a: (a.shape, a.dtype), variables)
+    chex_tree2 = jax.tree.map(
+        lambda a: (a.shape, a.dtype), alt.init(jax.random.PRNGKey(0), xyz))
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: a == b, chex_tree, chex_tree2))
+    out_ref = ref.apply(variables, xyz)
+    out_alt = alt.apply(variables, xyz)
+    assert out_alt.dtype == out_ref.dtype
+    np.testing.assert_allclose(
+        np.asarray(out_ref), np.asarray(out_alt), atol=0.05)

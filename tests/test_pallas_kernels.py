@@ -39,3 +39,35 @@ def test_chamfer_pallas_grad_matches_xla(rng):
     gy_ref = jax.grad(lambda b: chamfer_distance(x, b))(y)
     gy_pal = jax.grad(lambda b: chamfer_distance_pallas(x, b, True))(y)
     np.testing.assert_allclose(np.asarray(gy_pal), np.asarray(gy_ref), atol=1e-5)
+
+
+def test_training_losses_chamfer_impl_equivalence(rng):
+    """chamfer_impl='pallas' produces the same loss/grads as 'xla' in the
+    actual training-loss path (128-point clouds, interpret mode)."""
+    import jax.numpy as jnp
+
+    from lsdm_tpu.diffusion import make_schedule
+    from lsdm_tpu.diffusion.gaussian import DenoiserOutput, training_losses
+
+    schedule = make_schedule("cosine", 10)
+    B, N, C = 2, 128, 5
+    x_start = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    noise = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    t = jnp.array([1, 7])
+    target_cat = jax.nn.one_hot(jnp.array([2, 4]), C)
+    w0 = jnp.asarray(rng.randn(3, 3) * 0.1, jnp.float32)
+
+    def loss_with(impl, w):
+        def model_fn(x_t, tt):
+            return DenoiserOutput(
+                x0=x_t @ w, cat=jax.nn.softmax(jnp.ones((B, 1, C))))
+        return training_losses(schedule, model_fn, x_start, t, target_cat,
+                               noise, chamfer_impl=impl)["loss"]
+
+    l_xla, g_xla = jax.value_and_grad(lambda w: loss_with("xla", w))(w0)
+    l_pl, g_pl = jax.value_and_grad(lambda w: loss_with("pallas", w))(w0)
+    assert abs(float(l_xla) - float(l_pl)) < 1e-5
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(g_xla), np.asarray(g_pl),
+                               atol=1e-5)

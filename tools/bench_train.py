@@ -31,6 +31,15 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--bn_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="PointNet++ BatchNorm compute dtype (PERF.md)")
+    ap.add_argument("--chamfer", default="xla", choices=["xla", "pallas"],
+                    help="training-loss chamfer implementation")
+    ap.add_argument("--ablate", default=None,
+                    choices=[None, "ballquery", "pcd_backbone"],
+                    help="replace a component with a stub to attribute "
+                         "step time (diagnostic, not a training mode)")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -61,7 +70,32 @@ def main():
                         vert_dims=24, pcd_points=32)
     else:
         cfg = cfg_lib.sdm_proxd()
-    cfg = dataclasses.replace(cfg, dtype=args.dtype)
+    cfg = dataclasses.replace(cfg, dtype=args.dtype, bn_dtype=args.bn_dtype)
+
+    if args.ablate == "ballquery":
+        # stub: first-K indices instead of the radius search — isolates the
+        # (B*O, S, N) distance matrix + top_k cost from the grouped MLPs
+        import lsdm_tpu.ops.pointcloud as _pc
+        import lsdm_tpu.models.pointnet2 as _pn2
+
+        def _stub(radius, nsample, xyz, new_xyz):
+            B, S = new_xyz.shape[:2]
+            idx = jnp.arange(nsample, dtype=jnp.int32)
+            return jnp.broadcast_to(idx, (B, S, nsample))
+
+        _pc.query_ball_point = _stub
+        _pn2.query_ball_point = _stub
+    elif args.ablate == "pcd_backbone":
+        # stub: mean-pooled paramless features — removes the entire
+        # PointNet++ stack (9 object clouds/scene) from the step
+        import lsdm_tpu.models.pointnet2 as _pn2
+
+        def _cheap(self, xyz, train=False, fps_key=None):
+            mean = jnp.mean(xyz, axis=1, keepdims=True)
+            return jnp.broadcast_to(
+                mean, (xyz.shape[0], xyz.shape[1], 3))[..., : self.out_dim]
+
+        _pn2.PointNet2Backbone.__call__ = _cheap
 
     B, O, N = args.batch, cfg.max_objs, cfg.pcd_points
     key = jax.random.PRNGKey(0)
@@ -81,7 +115,7 @@ def main():
     tx = optax.adamw(1e-4)
     state = create_train_state(variables, tx)
     schedule = make_schedule("cosine", 20 if args.smoke else 1000)
-    step = make_train_step(model, schedule, tx)
+    step = make_train_step(model, schedule, tx, chamfer_impl=args.chamfer)
 
     # Chunked: `chunk` sequential train steps per device dispatch, so the
     # tunnel's dispatch latency amortizes (utils/profiling.py rationale).
