@@ -127,31 +127,77 @@ def farthest_point_sample(
 
 
 def query_ball_point(
-    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array
+    radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
+    impl: str = "scatter",
 ) -> jax.Array:
     """Fixed-size ball query (B, S, nsample) of point indices.
 
     Replicates reference semantics exactly (``pointnet2_utils.py:84-104``):
     indices *sorted by index* (not by distance) within the radius; slots
     beyond the in-radius count repeat the first in-radius index.
+
+    impl="scatter" (default): "first nsample in-radius indices" is a prefix
+    count — rank in-radius points with a ``cumsum`` and scatter each index
+    into its slot.  O(N) per row, no sort, and it partitions: ``lax.top_k``
+    has no SPMD rule, so the previous formulation made the partitioner
+    all-gather the full (B, S, N) tensor per device and sort it redundantly
+    (the 302 MB all-gather recorded in PERF.md).  impl="topk" keeps that
+    formulation for A/B benching.
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     sqrdists = square_distance(new_xyz, xyz)  # (B, S, N)
-    arange = jnp.broadcast_to(
-        jax.lax.broadcasted_iota(jnp.int32, (B, S, N), 2), (B, S, N)
-    )
-    cand = jnp.where(sqrdists > radius**2, N, arange)
-    # top_k of negated values = nsample smallest; ties keep lowest index
-    # order because iota values are unique.
-    neg_topk, _ = jax.lax.top_k(-cand, nsample)
-    group_idx = -neg_topk  # ascending among the chosen, like torch .sort()
-    group_idx = jnp.sort(group_idx, axis=-1)
+    if impl == "topk":
+        arange = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (B, S, N), 2), (B, S, N)
+        )
+        cand = jnp.where(sqrdists > radius**2, N, arange)
+        # top_k of negated values = nsample smallest; ties keep lowest
+        # index order because iota values are unique.
+        neg_topk, _ = jax.lax.top_k(-cand, nsample)
+        group_idx = -neg_topk
+        group_idx = jnp.sort(group_idx, axis=-1)
+    else:
+        mask = sqrdists <= radius**2  # (B, S, N)
+        rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)  # 1-indexed
+        # slot for each in-radius point among the first nsample; the rest
+        # (and all out-of-radius points) dump into an extra slot
+        pos = jnp.where(mask & (rank <= nsample), rank - 1, nsample)
+        src = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (B, S, N), 2), (B, S, N)
+        )
+        buf = jnp.full((B, S, nsample + 1), N, jnp.int32)
+        buf = buf.at[
+            jnp.arange(B)[:, None, None],
+            jnp.arange(S)[None, :, None],
+            pos,
+        ].set(src, unique_indices=False)  # dump-slot collisions sliced off
+        group_idx = buf[..., :nsample]  # ascending by construction
     group_first = group_idx[:, :, :1]
     group_idx = jnp.where(group_idx == N, group_first, group_idx)
     # Degenerate case (no point in radius): reference leaves N (an OOB index
     # that torch gathers garbage for); we clamp to 0 for safety.
     return jnp.clip(group_idx, 0, N - 1)
+
+
+def smallest_k(d: jax.Array, k: int):
+    """(values, indices) of the k smallest entries along the last axis,
+    ascending, ties to the lowest index — ``lax.top_k(-d, k)`` semantics
+    without ``top_k``: k iterated argmin+mask passes.  For tiny k this is
+    k cheap reductions instead of a sort, and (unlike the TopK custom call,
+    which has no SPMD rule) it partitions cleanly on sharded batch dims.
+    """
+    vals, idxs = [], []
+    remaining = d
+    for _ in range(k):
+        i = jnp.argmin(remaining, axis=-1)  # first occurrence on ties
+        v = jnp.take_along_axis(d, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i)
+        remaining = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+            == i[..., None], jnp.inf, remaining)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
 
 
 def knn(x: jax.Array, k: int) -> jax.Array:
@@ -175,8 +221,7 @@ def three_nn_interpolate(
     """
     d = square_distance(xyz1, xyz2)  # (B, N, S)
     k = min(3, xyz2.shape[1])  # reference always has S>=16; tiny configs don't
-    neg_top, idx = jax.lax.top_k(-d, k)  # (B, N, k)
-    dists = -neg_top
+    dists, idx = smallest_k(d, k)
     dist_recip = 1.0 / (dists + eps)
     norm = jnp.sum(dist_recip, axis=2, keepdims=True)
     weight = dist_recip / norm

@@ -223,3 +223,36 @@ def test_fps_auto_within_exact_randomness_envelope():
     # the exact runs must genuinely differ (the test is vacuous otherwise)
     assert spread > 1e-6 * scale
     assert d_auto <= 1.5 * spread + 1e-6 * scale
+
+
+def test_query_ball_point_scatter_matches_topk(rng):
+    """The O(N) prefix-count formulation == the top_k formulation
+    (which itself is pinned to the reference semantics above)."""
+    import jax.numpy as jnp
+
+    from lsdm_tpu.ops.pointcloud import query_ball_point
+
+    for (B, N, S, K, r) in [(2, 64, 64, 8, 0.5), (3, 128, 32, 16, 0.2),
+                            (1, 16, 16, 32, 0.05)]:  # K > N too
+        xyz = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+        new_xyz = jnp.asarray(xyz[:, :S], jnp.float32)
+        a = query_ball_point(r, min(K, N), xyz, new_xyz, impl="scatter")
+        b = query_ball_point(r, min(K, N), xyz, new_xyz, impl="topk")
+        assert (a == b).all(), (a != b).sum()
+
+
+def test_smallest_k_matches_top_k(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from lsdm_tpu.ops.pointcloud import smallest_k
+
+    d = jnp.asarray(rng.randn(2, 40, 17), jnp.float32)
+    d = d.at[:, :, 5].set(d[:, :, 3])  # force exact ties
+    vals, idx = smallest_k(d, 3)
+    ref_vals, ref_idx = jax.lax.top_k(-d, 3)
+    assert (idx == ref_idx).all()
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(vals), -np.asarray(ref_vals),
+                               atol=1e-7)
