@@ -166,12 +166,16 @@ def query_ball_point(
         src = jnp.broadcast_to(
             jax.lax.broadcasted_iota(jnp.int32, (B, S, N), 2), (B, S, N)
         )
-        buf = jnp.full((B, S, nsample + 1), N, jnp.int32)
-        buf = buf.at[
-            jnp.arange(B)[:, None, None],
-            jnp.arange(S)[None, :, None],
-            pos,
-        ].set(src, unique_indices=False)  # dump-slot collisions sliced off
+
+        # Row-wise scatter via vmap (scatter batching dims), NOT explicit
+        # (B, S, N) batch-index arrays: the latter defeat the partitioner,
+        # which all-gathers the s32 index/update tensors (the 57 MB gathers
+        # in the midsize audit).  The vmapped form lowers with zero
+        # collectives on a sharded batch dim.
+        def scatter_row(p, s):
+            return jnp.full((nsample + 1,), N, jnp.int32).at[p].set(s)
+
+        buf = jax.vmap(jax.vmap(scatter_row))(pos, src)
         group_idx = buf[..., :nsample]  # ascending by construction
     group_first = group_idx[:, :, :1]
     group_idx = jnp.where(group_idx == N, group_first, group_idx)
