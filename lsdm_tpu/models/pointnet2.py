@@ -69,6 +69,9 @@ class PointNetSetAbstraction(nn.Module):
     fps_mode: str = "auto"
     dtype: jnp.dtype = jnp.float32
     bn_dtype: jnp.dtype = jnp.float32
+    # neighbour-selection formulation: "topk" is fastest on one chip,
+    # "spmd" partitions cleanly on a sharded batch axis (ops/pointcloud.py)
+    select_impl: str = "topk"
 
     @nn.compact
     def __call__(
@@ -85,7 +88,9 @@ class PointNetSetAbstraction(nn.Module):
             fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
             new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
         # nsample can exceed the available points in down-scaled test configs
-        idx = query_ball_point(self.radius, min(self.nsample, N), xyz, new_xyz)
+        idx = query_ball_point(
+            self.radius, min(self.nsample, N), xyz, new_xyz,
+            impl="scatter" if self.select_impl == "spmd" else "topk")
         grouped_xyz = index_points(xyz, idx)  # (B, S, K, 3)
         grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
         if points is not None:
@@ -107,6 +112,7 @@ class PointNetFeaturePropagation(nn.Module):
     mlp: Sequence[int]
     dtype: jnp.dtype = jnp.float32
     bn_dtype: jnp.dtype = jnp.float32
+    select_impl: str = "topk"
 
     @nn.compact
     def __call__(
@@ -123,7 +129,9 @@ class PointNetFeaturePropagation(nn.Module):
                 points2, (points2.shape[0], xyz1.shape[1], points2.shape[2])
             )
         else:
-            interpolated = three_nn_interpolate(xyz1, xyz2, points2)
+            interpolated = three_nn_interpolate(
+                xyz1, xyz2, points2,
+                impl="argmin" if self.select_impl == "spmd" else "topk")
         if points1 is not None:
             new_points = jnp.concatenate([points1, interpolated], axis=-1)
         else:
@@ -148,6 +156,7 @@ class PointNet2Backbone(nn.Module):
     fps_mode: str = "auto"
     dtype: jnp.dtype = jnp.float32
     bn_dtype: jnp.dtype = jnp.float32
+    select_impl: str = "topk"
 
     @nn.compact
     def __call__(
@@ -162,19 +171,19 @@ class PointNet2Backbone(nn.Module):
         l0_xyz, l0_points = xyz, xyz
         p1, p2, p3, p4 = self.sa_npoints
         ns = self.sa_nsample
-        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, name="sa1")
-        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, name="sa2")
-        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, name="sa3")
-        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, name="sa4")
+        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="sa1")
+        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="sa2")
+        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="sa3")
+        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="sa4")
         l1_xyz, l1_points = sa1(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = sa2(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = sa3(l2_xyz, l2_points, train, keys[2])
         l4_xyz, l4_points = sa4(l3_xyz, l3_points, train, keys[3])
 
-        fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, name="fp4")
-        fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, name="fp3")
-        fp2 = PointNetFeaturePropagation((256, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, name="fp2")
-        fp1 = PointNetFeaturePropagation((128, 128, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, name="fp1")
+        fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="fp4")
+        fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="fp3")
+        fp2 = PointNetFeaturePropagation((256, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="fp2")
+        fp1 = PointNetFeaturePropagation((128, 128, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="fp1")
         l3_points = fp4(l3_xyz, l4_xyz, l3_points, l4_points, train)
         l2_points = fp3(l2_xyz, l3_xyz, l2_points, l3_points, train)
         l1_points = fp2(l1_xyz, l2_xyz, l1_points, l2_points, train)

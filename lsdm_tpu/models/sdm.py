@@ -122,6 +122,10 @@ class SceneDiffusionModel(nn.Module):
                 fps_mode=cfg.fps_mode,
                 dtype=dtype,
                 bn_dtype=jnp.dtype(cfg.bn_dtype),
+                # sharded object axis -> partition-clean neighbour selection
+                # (lax.top_k has no SPMD rule; see ops/pointcloud.py)
+                select_impl="spmd" if self.obj_sharding is not None
+                else "topk",
             )
         self.combine_extraction = MLP((D,), ("gelu",), dtype=dtype)
         self.input_process = InputProcess(cfg.xyz_dim, D, dtype=dtype)

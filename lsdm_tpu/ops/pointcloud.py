@@ -128,7 +128,7 @@ def farthest_point_sample(
 
 def query_ball_point(
     radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
-    impl: str = "scatter",
+    impl: str = "topk",
 ) -> jax.Array:
     """Fixed-size ball query (B, S, nsample) of point indices.
 
@@ -136,13 +136,19 @@ def query_ball_point(
     indices *sorted by index* (not by distance) within the radius; slots
     beyond the in-radius count repeat the first in-radius index.
 
-    impl="scatter" (default): "first nsample in-radius indices" is a prefix
-    count — rank in-radius points with a ``cumsum`` and scatter each index
-    into its slot.  O(N) per row, no sort, and it partitions: ``lax.top_k``
-    has no SPMD rule, so the previous formulation made the partitioner
-    all-gather the full (B, S, N) tensor per device and sort it redundantly
-    (the 302 MB all-gather recorded in PERF.md).  impl="topk" keeps that
-    formulation for A/B benching.
+    Two equivalent formulations, picked per execution context (PERF.md):
+
+    * impl="topk" (default): mask + ``lax.top_k`` of negated indices.  On a
+      single chip TPU's TopK custom call is fast — but it has no SPMD rule,
+      so under a sharded object axis the partitioner all-gathers the full
+      (B, S, N) tensor per device and sorts it redundantly (302 MB at the
+      flagship config).
+    * impl="scatter": "first nsample in-radius indices" is a prefix count —
+      rank in-radius points with a ``cumsum`` and scatter each index into
+      its slot (row-wise vmapped scatter).  O(N), no sort, partitions with
+      zero collectives; slower than the TopK custom call on one chip
+      (TPU scatter throughput), so the sharded backbone selects it
+      explicitly (``models/sdm.py``).
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
@@ -213,7 +219,8 @@ def knn(x: jax.Array, k: int) -> jax.Array:
 
 
 def three_nn_interpolate(
-    xyz1: jax.Array, xyz2: jax.Array, points2: jax.Array, eps: float = 1e-8
+    xyz1: jax.Array, xyz2: jax.Array, points2: jax.Array, eps: float = 1e-8,
+    impl: str = "topk",
 ) -> jax.Array:
     """Inverse-distance-weighted 3-NN feature interpolation.
 
@@ -221,11 +228,18 @@ def three_nn_interpolate(
     (``pointnet2_utils.py:290-300``): features ``points2`` living on ``xyz2``
     are interpolated onto ``xyz1`` using the 3 nearest neighbours.
 
+    ``impl`` as in :func:`query_ball_point`: "topk" for single-chip speed,
+    "argmin" (:func:`smallest_k`) under a sharded batch axis.
+
     xyz1: (B, N, 3); xyz2: (B, S, 3); points2: (B, S, C) -> (B, N, C).
     """
     d = square_distance(xyz1, xyz2)  # (B, N, S)
     k = min(3, xyz2.shape[1])  # reference always has S>=16; tiny configs don't
-    dists, idx = smallest_k(d, k)
+    if impl == "topk":  # fast single-chip custom call; no SPMD rule
+        neg_top, idx = jax.lax.top_k(-d, k)
+        dists = -neg_top
+    else:  # "argmin": k reduction passes; partitions cleanly
+        dists, idx = smallest_k(d, k)
     dist_recip = 1.0 / (dists + eps)
     norm = jnp.sum(dist_recip, axis=2, keepdims=True)
     weight = dist_recip / norm
