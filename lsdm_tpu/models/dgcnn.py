@@ -23,10 +23,10 @@ import flax.linen as nn
 from lsdm_tpu.ops.pointcloud import knn, index_points
 
 
-def edge_features(x: jax.Array, k: int) -> jax.Array:
+def edge_features(x: jax.Array, k: int, impl: str = "topk") -> jax.Array:
     """Per-edge features cat(x_j - x_i, x_i): (B, N, C) -> (B, N, k, 2C)
     (reference ``get_graph_feature``, ``dgcnn.py:30-53``)."""
-    idx = knn(x, k)  # (B, N, k) — includes self as nearest
+    idx = knn(x, k, impl=impl)  # (B, N, k) — includes self as nearest
     neigh = index_points(x, idx)  # (B, N, k, C)
     center = jnp.broadcast_to(x[:, :, None, :], neigh.shape)
     return jnp.concatenate([neigh - center, center], axis=-1)
@@ -52,6 +52,8 @@ class DGCNN(nn.Module):
     dropout: float = 0.1
     output_channels: int = 3072  # pcd_points * xyz_dim
     dtype: jnp.dtype = jnp.float32
+    # "topk" (single-chip) | "spmd" (partition-clean; ops/pointcloud.py)
+    select_impl: str = "topk"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -62,7 +64,7 @@ class DGCNN(nn.Module):
         outs = []
         h = x
         for i, feats in enumerate((64, 64, 128, 256)):
-            e = edge_features(h, k)  # (B, N, k, 2C)
+            e = edge_features(h, k, impl="argmin" if self.select_impl == "spmd" else "topk")  # (B, N, k, 2C)
             e = _ConvBNLeaky(feats, dtype=self.dtype, name=f"conv{i + 1}")(e, train)
             h = jnp.max(e, axis=2)  # (B, N, feats)
             outs.append(h)

@@ -113,6 +113,8 @@ class SceneDiffusionModel(nn.Module):
                 emb_dims=cfg.clip_dim,
                 output_channels=cfg.pcd_points * cfg.xyz_dim,
                 dtype=dtype,
+                select_impl="spmd" if self.obj_sharding is not None
+                else "topk",
             )
         else:
             self.pcd_backbone = PointNet2Backbone(

@@ -210,11 +210,18 @@ def smallest_k(d: jax.Array, k: int):
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
 
 
-def knn(x: jax.Array, k: int) -> jax.Array:
+def knn(x: jax.Array, k: int, impl: str = "topk") -> jax.Array:
     """k-nearest-neighbour indices (B, N, k) by negative squared distance
-    (reference ``model/pcd_backbone/dgcnn.py:21-27``)."""
+    (reference ``model/pcd_backbone/dgcnn.py:21-27``).
+
+    ``impl`` as in :func:`query_ball_point`: "argmin" (:func:`smallest_k`)
+    partitions under a sharded batch axis (k reduction passes, so only
+    preferable when sharded)."""
     d = square_distance(x, x)
-    _, idx = jax.lax.top_k(-d, k)
+    if impl == "topk":
+        _, idx = jax.lax.top_k(-d, k)
+    else:
+        _, idx = smallest_k(d, k)
     return idx
 
 
