@@ -1,5 +1,6 @@
 """Alternate backbone tests: DGCNN, STGCN, and SDM wiring of both."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,6 +70,7 @@ def test_sdm_with_alternate_backbones(rng):
     assert np.isfinite(np.asarray(out.x0)).all()
 
 
+@pytest.mark.slow
 def test_pointnet2_bn_dtype_bf16_close(rng):
     """bn_dtype=bfloat16 keeps params/stats fp32 and stays numerically close
     to the fp32-BN path (it only changes compute/materialization width)."""

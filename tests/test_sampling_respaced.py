@@ -1,6 +1,7 @@
 """Respaced (DDIM-style) sampling through the fast SDM path."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,6 +41,7 @@ def test_sample_sdm_with_respacing():
     assert last.cat.shape == (B, 1, 13)
 
 
+@pytest.mark.slow
 def test_cond_chunk_bit_equality():
     """Chunked conditioning encode (memory cap, models/sampling.py) matches
     the unchunked path: same math per scene; only XLA's batch tiling (and
