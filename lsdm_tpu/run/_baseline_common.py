@@ -91,7 +91,7 @@ def train_baseline(args, kind: str):
     from lsdm_tpu import config as cfg_lib
     from lsdm_tpu.data.dataset import DataLoader, Humanise, ProxDatasetTxt
     from lsdm_tpu.train import checkpoint as ckpt_lib
-    from lsdm_tpu.train.state import TrainState, create_train_state
+    from lsdm_tpu.train.state import create_train_state
     from lsdm_tpu.utils.logger import KVLogger
 
     if args.platform:

@@ -57,7 +57,7 @@ def main():
     from lsdm_tpu.ops.metrics import emd as emd_fn, fscore, topk_accuracy
     from lsdm_tpu.ops.pointcloud import chamfer_distance
     from lsdm_tpu.train import checkpoint as ckpt_lib
-    from lsdm_tpu.train.state import TrainState, create_train_state, make_optimizer
+    from lsdm_tpu.train.state import create_train_state, make_optimizer
 
     os.makedirs(args.output_dir, exist_ok=True)
     os.makedirs(os.path.join(args.output_dir, "predictions"), exist_ok=True)

@@ -62,7 +62,7 @@ def main():
     from lsdm_tpu.config import SDMConfig
     from lsdm_tpu.diffusion import make_schedule
     from lsdm_tpu.models.sdm import SceneDiffusionModel
-    from lsdm_tpu.train.state import TrainState, create_train_state
+    from lsdm_tpu.train.state import create_train_state
     from lsdm_tpu.train.trainer import make_train_step
 
     if args.smoke:
