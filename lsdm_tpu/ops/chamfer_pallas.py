@@ -81,7 +81,13 @@ def _directed_min_sqdist(x: jax.Array, y: jax.Array, interpret: bool):
             interpret=interpret,
         )(xb, yb)
 
-    return jax.vmap(one)(x, y)
+    # Static per-sample loop, NOT jax.vmap: the batched rank-1 outputs get a
+    # squeezed leading block dim that Mosaic's (8, 128) last-two-dims rule
+    # rejects on real TPU lowering (block (Squeezed, 128) over (B, N)).
+    # B is tiny (<= tens); the kernel compiles once.
+    per_b = [one(x[b], y[b]) for b in range(B)]
+    return (jnp.stack([m for m, _ in per_b]),
+            jnp.stack([a for _, a in per_b]))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
