@@ -97,3 +97,19 @@ def test_text_encoder_cached_mode():
     assert out.shape == (2, 8)
     with pytest.raises(KeyError):
         enc.encode(["missing"])
+
+
+def test_text_encoder_bert_fallback_flagged():
+    """Offline BERT: random-init + hash tokenizer, loudly flagged; the
+    require_parity path refuses instead (reference model/sdm.py:279-285)."""
+    import pytest
+
+    from lsdm_tpu.models.text import TextEncoder
+
+    with pytest.warns(UserWarning, match="random-init"):
+        enc = TextEncoder("BERT", dim=32)
+    out = enc.encode(["sit on the chair", "a lamp"])
+    assert out.shape == (2, 32) and out.dtype == "float32"
+
+    with pytest.raises(RuntimeError, match="bert-base-uncased"):
+        TextEncoder("BERT", dim=32, require_parity=True)
