@@ -78,7 +78,7 @@ def main():
         import lsdm_tpu.ops.pointcloud as _pc
         import lsdm_tpu.models.pointnet2 as _pn2
 
-        def _stub(radius, nsample, xyz, new_xyz):
+        def _stub(radius, nsample, xyz, new_xyz, impl="topk"):
             B, S = new_xyz.shape[:2]
             idx = jnp.arange(nsample, dtype=jnp.int32)
             return jnp.broadcast_to(idx, (B, S, nsample))
