@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--chamfer", default="xla", choices=["xla", "pallas"],
                     help="training-loss chamfer implementation")
     ap.add_argument("--ablate", default=None,
-                    choices=[None, "ballquery", "pcd_backbone"],
+                    choices=[None, "ballquery", "fps", "pcd_backbone"],
                     help="replace a component with a stub to attribute "
                          "step time (diagnostic, not a training mode)")
     ap.add_argument("--smoke", action="store_true")
@@ -85,6 +85,20 @@ def main():
 
         _pc.query_ball_point = _stub
         _pn2.query_ball_point = _stub
+    elif args.ablate == "fps":
+        # stub: strided indices instead of the sequential farthest-point
+        # scan — isolates the 336 scan iterations (sa2: 256, sa3: 64,
+        # sa4: 16) from the rest of the backbone
+        import lsdm_tpu.ops.pointcloud as _pc
+        import lsdm_tpu.models.pointnet2 as _pn2
+
+        def _fps_stub(xyz, npoint, key=None):
+            B, N = xyz.shape[:2]
+            idx = (jnp.arange(npoint) * (N // npoint)).astype(jnp.int32)
+            return jnp.broadcast_to(idx, (B, npoint))
+
+        _pc.farthest_point_sample = _fps_stub
+        _pn2.farthest_point_sample = _fps_stub
     elif args.ablate == "pcd_backbone":
         # stub: mean-pooled paramless features — removes the entire
         # PointNet++ stack (9 object clouds/scene) from the step
