@@ -25,33 +25,47 @@ TILE_M = 128  # key columns per inner step
 
 
 def _min_sqdist_kernel(x_ref, y_ref, min_ref, arg_ref):
-    """x block (TILE_N, 3) vs full y (M, 3) -> per-row (min sqdist, argmin)."""
-    x = x_ref[:].astype(jnp.float32)  # (TILE_N, 3)
-    x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (TILE_N, 1)
+    """Full x (N, 3) vs full y (M, 3) -> per-row (min sqdist, argmin).
+
+    One program per cloud with full-array VMEM refs (KBs); row/column tiles
+    are explicit ``fori_loop``s.  Tiled 1-D *output blocks* are a Mosaic
+    trap twice over: a vmapped batch dim gets squeezed (violating the
+    (8, 128) last-two-dims rule) and a (TILE,)-blocked rank-1 output's
+    Mosaic layout T(128) clashes with XLA's T(1024) result layout — full
+    blocks sidestep both.
+    """
+    N = x_ref.shape[0]
     M = y_ref.shape[0]
 
-    def body(j, carry):
-        running_min, running_arg = carry
-        y = y_ref[pl.ds(j * TILE_M, TILE_M), :].astype(jnp.float32)
-        y_sq = jnp.sum(y * y, axis=-1)  # (TILE_M,)
-        xy = jax.lax.dot_general(
-            x, y, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (TILE_N, TILE_M)
-        d = x_sq + y_sq[None, :] - 2.0 * xy
-        tile_min = jnp.min(d, axis=1)
-        tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + j * TILE_M
-        better = tile_min < running_min
-        return (
-            jnp.where(better, tile_min, running_min),
-            jnp.where(better, tile_arg, running_arg),
-        )
+    def row_tile(i, _):
+        x = x_ref[pl.ds(i * TILE_N, TILE_N), :].astype(jnp.float32)
+        x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (TILE_N, 1)
 
-    init = (jnp.full((TILE_N,), jnp.inf, jnp.float32),
-            jnp.zeros((TILE_N,), jnp.int32))
-    mins, args = jax.lax.fori_loop(0, M // TILE_M, body, init)
-    min_ref[:] = jnp.maximum(mins, 0.0)
-    arg_ref[:] = args
+        def col_tile(j, carry):
+            running_min, running_arg = carry
+            y = y_ref[pl.ds(j * TILE_M, TILE_M), :].astype(jnp.float32)
+            y_sq = jnp.sum(y * y, axis=-1)  # (TILE_M,)
+            xy = jax.lax.dot_general(
+                x, y, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TILE_N, TILE_M)
+            d = x_sq + y_sq[None, :] - 2.0 * xy
+            tile_min = jnp.min(d, axis=1)
+            tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + j * TILE_M
+            better = tile_min < running_min
+            return (
+                jnp.where(better, tile_min, running_min),
+                jnp.where(better, tile_arg, running_arg),
+            )
+
+        init = (jnp.full((TILE_N,), jnp.inf, jnp.float32),
+                jnp.zeros((TILE_N,), jnp.int32))
+        mins, args = jax.lax.fori_loop(0, M // TILE_M, col_tile, init)
+        min_ref[pl.ds(i * TILE_N, TILE_N)] = jnp.maximum(mins, 0.0)
+        arg_ref[pl.ds(i * TILE_N, TILE_N)] = args
+        return 0
+
+    jax.lax.fori_loop(0, N // TILE_N, row_tile, 0)
 
 
 def _directed_min_sqdist(x: jax.Array, y: jax.Array, interpret: bool):
@@ -69,22 +83,10 @@ def _directed_min_sqdist(x: jax.Array, y: jax.Array, interpret: bool):
                 jax.ShapeDtypeStruct((N,), jnp.float32),
                 jax.ShapeDtypeStruct((N,), jnp.int32),
             ),
-            grid=(N // TILE_N,),
-            in_specs=[
-                pl.BlockSpec((TILE_N, 3), lambda i: (i, 0)),
-                pl.BlockSpec((M, 3), lambda i: (0, 0)),
-            ],
-            out_specs=(
-                pl.BlockSpec((TILE_N,), lambda i: (i,)),
-                pl.BlockSpec((TILE_N,), lambda i: (i,)),
-            ),
             interpret=interpret,
         )(xb, yb)
 
-    # Static per-sample loop, NOT jax.vmap: the batched rank-1 outputs get a
-    # squeezed leading block dim that Mosaic's (8, 128) last-two-dims rule
-    # rejects on real TPU lowering (block (Squeezed, 128) over (B, N)).
-    # B is tiny (<= tens); the kernel compiles once.
+    # Static per-sample loop (B is tiny); the kernel compiles once.
     per_b = [one(x[b], y[b]) for b in range(B)]
     return (jnp.stack([m for m, _ in per_b]),
             jnp.stack([a for _, a in per_b]))
