@@ -25,23 +25,24 @@ TILE_M = 128  # key columns per inner step
 
 
 def _min_sqdist_kernel(x_ref, y_ref, min_ref, arg_ref):
-    """Full x (N, 3) vs full y (M, 3) -> per-row (min sqdist, argmin).
+    """Full x (N, 3) vs full y (M, 3) -> per-row (min sqdist, argmin) as
+    (N // 128, 128) tiles.
 
-    One program per cloud with full-array VMEM refs (KBs); row/column tiles
-    are explicit ``fori_loop``s.  Tiled 1-D *output blocks* are a Mosaic
-    trap twice over: a vmapped batch dim gets squeezed (violating the
-    (8, 128) last-two-dims rule) and a (TILE,)-blocked rank-1 output's
-    Mosaic layout T(128) clashes with XLA's T(1024) result layout — full
-    blocks sidestep both.
+    One program per cloud, full-array VMEM refs (KBs), statically unrolled
+    row tiles, ``fori_loop`` column tiles, one full-block store at the end.
+    This shape is deliberate — Mosaic rejects every 1-D-output variant:
+    vmapped batches (squeezed block dim), (TILE,)-blocked rank-1 outputs
+    (Mosaic T(128) vs XLA T(1024) layout), and dynamic rank-1 stores
+    ("cannot statically prove index is a multiple of 1024").
     """
     N = x_ref.shape[0]
     M = y_ref.shape[0]
-
-    def row_tile(i, _):
-        x = x_ref[pl.ds(i * TILE_N, TILE_N), :].astype(jnp.float32)
+    rows_min, rows_arg = [], []
+    for i in range(N // TILE_N):  # static unroll; N/128 <= 8 at our sizes
+        x = x_ref[i * TILE_N:(i + 1) * TILE_N, :].astype(jnp.float32)
         x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # (TILE_N, 1)
 
-        def col_tile(j, carry):
+        def col_tile(j, carry, x=x, x_sq=x_sq):
             running_min, running_arg = carry
             y = y_ref[pl.ds(j * TILE_M, TILE_M), :].astype(jnp.float32)
             y_sq = jnp.sum(y * y, axis=-1)  # (TILE_M,)
@@ -61,11 +62,10 @@ def _min_sqdist_kernel(x_ref, y_ref, min_ref, arg_ref):
         init = (jnp.full((TILE_N,), jnp.inf, jnp.float32),
                 jnp.zeros((TILE_N,), jnp.int32))
         mins, args = jax.lax.fori_loop(0, M // TILE_M, col_tile, init)
-        min_ref[pl.ds(i * TILE_N, TILE_N)] = jnp.maximum(mins, 0.0)
-        arg_ref[pl.ds(i * TILE_N, TILE_N)] = args
-        return 0
-
-    jax.lax.fori_loop(0, N // TILE_N, row_tile, 0)
+        rows_min.append(jnp.maximum(mins, 0.0))
+        rows_arg.append(args)
+    min_ref[:, :] = jnp.stack(rows_min)
+    arg_ref[:, :] = jnp.stack(rows_arg)
 
 
 def _directed_min_sqdist(x: jax.Array, y: jax.Array, interpret: bool):
@@ -77,14 +77,15 @@ def _directed_min_sqdist(x: jax.Array, y: jax.Array, interpret: bool):
     )
 
     def one(xb, yb):
-        return pl.pallas_call(
+        mins, args = pl.pallas_call(
             _min_sqdist_kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((N,), jnp.float32),
-                jax.ShapeDtypeStruct((N,), jnp.int32),
+                jax.ShapeDtypeStruct((N // TILE_N, TILE_N), jnp.float32),
+                jax.ShapeDtypeStruct((N // TILE_N, TILE_N), jnp.int32),
             ),
             interpret=interpret,
         )(xb, yb)
+        return mins.reshape(N), args.reshape(N)
 
     # Static per-sample loop (B is tiny); the kernel compiles once.
     per_b = [one(x[b], y[b]) for b in range(B)]
