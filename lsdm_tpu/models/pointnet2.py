@@ -91,13 +91,22 @@ class PointNetSetAbstraction(nn.Module):
         idx = query_ball_point(
             self.radius, min(self.nsample, N), xyz, new_xyz,
             impl="scatter" if self.select_impl == "spmd" else "topk")
-        grouped_xyz = index_points(xyz, idx)  # (B, S, K, 3)
-        grouped_xyz = grouped_xyz - new_xyz[:, :, None, :]
         if points is not None:
-            grouped_points = index_points(points, idx)
-            new_points = jnp.concatenate([grouped_xyz, grouped_points], axis=-1)
+            # ONE gather of the pre-concatenated columns instead of two:
+            # gather-then-concat == concat-then-gather, and the random-access
+            # gather (+ its scatter-add backward) is the backbone's dominant
+            # cost (PERF.md round-3 attribution).  In low-precision modes the
+            # early cast also halves the gathered bytes.
+            base = jnp.concatenate([xyz, points], axis=-1)
+            if self.dtype != jnp.float32:
+                base = base.astype(self.dtype)
+            grouped = index_points(base, idx)  # (B, S, K, 3 + D)
+            center = new_xyz[:, :, None, :].astype(grouped.dtype)
+            new_points = jnp.concatenate(
+                [grouped[..., :C] - center, grouped[..., C:]], axis=-1)
         else:
-            new_points = grouped_xyz
+            grouped_xyz = index_points(xyz, idx)  # (B, S, K, 3)
+            new_points = grouped_xyz - new_xyz[:, :, None, :]
         for i, feats in enumerate(self.mlp):
             new_points = ConvBNBlock(feats, dtype=self.dtype, bn_dtype=self.bn_dtype, name=f"mlp_{i}")(
                 new_points, train
