@@ -49,6 +49,10 @@ def _min_sqdist_kernel(x_ref, y_ref, min_ref, arg_ref):
             xy = jax.lax.dot_general(
                 x, y, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # full-f32 passes: the |x|^2+|y|^2-2xy expansion cancels
+                # catastrophically under default bf16 MXU passes (measured
+                # 1.5e-3 rel fwd error on TPU vs HIGHEST)
+                precision=jax.lax.Precision.HIGHEST,
             )  # (TILE_N, TILE_M)
             d = x_sq + y_sq[None, :] - 2.0 * xy
             tile_min = jnp.min(d, axis=1)
