@@ -65,6 +65,13 @@ class SDMConfig:
     # traffic of the grouped-buffer BN boundaries (train-mode batch
     # reductions force materialization) — see PERF.md.
     bn_dtype: str = "float32"
+    # VJP formulation for the PointNet++ grouping gather: "scatter" is the
+    # exact (and trace-identical) default; "matmul" computes the backward
+    # segment-sum as a one-hot MXU contraction — much faster than XLA's
+    # serialized scatter-add at training shapes (PERF.md round 3).
+    # Forward numerics are bit-identical either way; only grads differ
+    # (bf16-grade).  Training CLIs/benches opt into "matmul".
+    gather_bwd: str = "scatter"
 
 
 def sdm_proxd() -> SDMConfig:

@@ -24,6 +24,7 @@ import flax.linen as nn
 from lsdm_tpu.ops.pointcloud import (
     farthest_point_sample,
     index_points,
+    index_points_mm,
     query_ball_point,
     three_nn_interpolate,
 )
@@ -72,6 +73,12 @@ class PointNetSetAbstraction(nn.Module):
     # neighbour-selection formulation: "topk" is fastest on one chip,
     # "spmd" partitions cleanly on a sharded batch axis (ops/pointcloud.py)
     select_impl: str = "topk"
+    # "matmul": MXU one-hot backward for the grouping gather (faster than
+    # XLA's serialized scatter-add at train shapes, bf16-grade grads);
+    # "scatter": exact VJP and the trace-identical default — eval/sample
+    # programs keep their compiled-cache hash (ops/pointcloud.py:
+    # index_points_mm)
+    gather_bwd: str = "scatter"
 
     @nn.compact
     def __call__(
@@ -100,7 +107,9 @@ class PointNetSetAbstraction(nn.Module):
             base = jnp.concatenate([xyz, points], axis=-1)
             if self.dtype != jnp.float32:
                 base = base.astype(self.dtype)
-            grouped = index_points(base, idx)  # (B, S, K, 3 + D)
+            gather = (index_points if self.gather_bwd == "scatter"
+                      else lambda p, i: index_points_mm(p, i, N))
+            grouped = gather(base, idx)  # (B, S, K, 3 + D)
             center = new_xyz[:, :, None, :].astype(grouped.dtype)
             new_points = jnp.concatenate(
                 [grouped[..., :C] - center, grouped[..., C:]], axis=-1)
@@ -166,6 +175,7 @@ class PointNet2Backbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_dtype: jnp.dtype = jnp.float32
     select_impl: str = "topk"
+    gather_bwd: str = "scatter"
 
     @nn.compact
     def __call__(
@@ -180,10 +190,10 @@ class PointNet2Backbone(nn.Module):
         l0_xyz, l0_points = xyz, xyz
         p1, p2, p3, p4 = self.sa_npoints
         ns = self.sa_nsample
-        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="sa1")
-        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="sa2")
-        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="sa3")
-        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="sa4")
+        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, gather_bwd=self.gather_bwd, name="sa1")
+        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, gather_bwd=self.gather_bwd, name="sa2")
+        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, gather_bwd=self.gather_bwd, name="sa3")
+        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, gather_bwd=self.gather_bwd, name="sa4")
         l1_xyz, l1_points = sa1(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = sa2(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = sa3(l2_xyz, l2_points, train, keys[2])

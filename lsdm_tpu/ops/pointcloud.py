@@ -17,6 +17,7 @@ Design notes:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -54,6 +55,63 @@ def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
         idx.reshape(idx.shape[0], 1, -1, 1),
         axis=2,
     ).reshape(*idx.shape, points.shape[-1])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def index_points_mm(points: jax.Array, idx: jax.Array,
+                    n_points: int) -> jax.Array:
+    """:func:`index_points` with a matmul backward.
+
+    Forward: identical gather (bit-exact).  Backward: the gather's VJP is a
+    segment-sum of (B, S*K) gradient rows into N bins — XLA lowers that to
+    a serialized scatter-add that measures ~28 ms at the sa1 training
+    shapes (PERF.md round-3 probe), the single largest op in the train
+    step.  Here the segment-sum is a one-hot contraction on the MXU
+    instead: grad_points[b, n] = sum_g [idx[b, g] == n] * grad[b, g],
+    chunked over the batch axis to bound the transient one-hot buffer.
+    Gradients are f32-pass accurate (HIGHEST), which training does not
+    distinguish; eval paths never see the difference.
+
+    ``n_points`` must equal ``points.shape[1]`` (static).
+    """
+    return index_points(points, idx)
+
+
+def _index_points_mm_fwd(points, idx, n_points):
+    return index_points(points, idx), idx
+
+
+def _index_points_mm_bwd(n_points, idx, grad):
+    B = idx.shape[0]
+    C = grad.shape[-1]
+    N = n_points
+    flat_idx = idx.reshape(B, -1)  # (B, G)
+    flat_grad = grad.reshape(B, -1, C)  # (B, G, C)
+
+    def chunk_bwd(args):
+        ci, cg = args
+        # bf16 one-hot (0/1 exact) x bf16 cotangent, f32 accumulate: the
+        # only loss is truncating each gradient value to bf16 (~1e-3 rel)
+        # — standard mixed-precision training noise, far below SGD noise.
+        onehot = (ci[..., None] == jnp.arange(N)).astype(jnp.bfloat16)
+        return jnp.einsum(
+            "bgn,bgc->bnc", onehot, cg.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+
+    # chunk the batch so the transient one-hot stays bounded
+    # (G*N bf16 per cloud; 64 MB/cloud at sa1's 32768 x 1024); largest
+    # divisor of B under the cap keeps lax.map's trip count minimal
+    cap = max(1, min(B, int(8e8 // max(flat_idx.shape[1] * N * 2, 1))))
+    chunk = next(c for c in range(cap, 0, -1) if B % c == 0)
+    grad_points = jax.lax.map(
+        chunk_bwd,
+        (flat_idx.reshape(B // chunk, chunk, -1),
+         flat_grad.reshape(B // chunk, chunk, -1, C)),
+    ).reshape(B, N, C)
+    return grad_points.astype(grad.dtype), None
+
+
+index_points_mm.defvjp(_index_points_mm_fwd, _index_points_mm_bwd)
 
 
 def chamfer_distance(

@@ -44,6 +44,32 @@ def test_index_points(rng):
         np.testing.assert_array_equal(out2[b], pts[b][idx2[b]])
 
 
+def test_index_points_mm_matches_gather(rng):
+    """index_points_mm: forward bit-exact; matmul VJP matches the exact
+    scatter-add VJP to bf16 grade (ops/pointcloud.py:index_points_mm)."""
+    from lsdm_tpu.ops.pointcloud import index_points_mm
+
+    pts = rng.randn(6, 37, 5).astype(np.float32)
+    idx = rng.randint(0, 37, size=(6, 11, 8))
+    jp, ji = jnp.asarray(pts), jnp.asarray(idx)
+    np.testing.assert_array_equal(
+        np.asarray(index_points_mm(jp, ji, 37)),
+        np.asarray(index_points(jp, ji)),
+    )
+
+    def loss_mm(p):
+        return jnp.sum(jnp.sin(index_points_mm(p, ji, 37)) ** 2)
+
+    def loss_exact(p):
+        return jnp.sum(jnp.sin(index_points(p, ji)) ** 2)
+
+    g_mm = np.asarray(jax.grad(loss_mm)(jp))
+    g_exact = np.asarray(jax.grad(loss_exact)(jp))
+    # bf16 truncation of each summand; duplicate indices accumulate in f32
+    scale = np.abs(g_exact).max()
+    np.testing.assert_allclose(g_mm, g_exact, atol=2e-2 * scale)
+
+
 def test_chamfer_zero_for_identical(rng):
     x = rng.randn(2, 64, 3).astype(np.float32)
     assert float(chamfer_distance(jnp.asarray(x), jnp.asarray(x))) < 1e-6

@@ -36,6 +36,10 @@ def main():
                     help="PointNet++ BatchNorm compute dtype (PERF.md)")
     ap.add_argument("--chamfer", default="xla", choices=["xla", "pallas"],
                     help="training-loss chamfer implementation")
+    ap.add_argument("--gather_bwd", default="matmul",
+                    choices=["scatter", "matmul"],
+                    help="grouping-gather VJP: exact scatter-add vs "
+                         "one-hot MXU contraction (PERF.md round 3)")
     ap.add_argument("--ablate", default=None,
                     choices=[None, "ballquery", "fps", "pcd_backbone"],
                     help="replace a component with a stub to attribute "
@@ -70,7 +74,8 @@ def main():
                         vert_dims=24, pcd_points=32)
     else:
         cfg = cfg_lib.sdm_proxd()
-    cfg = dataclasses.replace(cfg, dtype=args.dtype, bn_dtype=args.bn_dtype)
+    cfg = dataclasses.replace(cfg, dtype=args.dtype, bn_dtype=args.bn_dtype,
+                              gather_bwd=args.gather_bwd)
 
     if args.ablate == "ballquery":
         # stub: first-K indices instead of the radius search — isolates the
