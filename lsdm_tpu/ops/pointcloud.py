@@ -57,6 +57,11 @@ def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     ).reshape(*idx.shape, points.shape[-1])
 
 
+# HBM budget for the transient one-hot in index_points_mm's backward
+# (module-level so tests can force the chunked path at small shapes).
+ONEHOT_TRANSIENT_CAP_BYTES = 8e8
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def index_points_mm(points: jax.Array, idx: jax.Array,
                     n_points: int) -> jax.Array:
@@ -87,9 +92,9 @@ def _index_points_mm_bwd(n_points, idx, grad):
     N = n_points
     flat_idx = idx.reshape(B, -1)  # (B, G)
     flat_grad = grad.reshape(B, -1, C)  # (B, G, C)
+    G = flat_idx.shape[1]
 
-    def chunk_bwd(args):
-        ci, cg = args
+    def seg_mm(ci, cg):
         # bf16 one-hot (0/1 exact) x bf16 cotangent, f32 accumulate: the
         # only loss is truncating each gradient value to bf16 (~1e-3 rel)
         # — standard mixed-precision training noise, far below SGD noise.
@@ -98,16 +103,27 @@ def _index_points_mm_bwd(n_points, idx, grad):
             "bgn,bgc->bnc", onehot, cg.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
 
-    # chunk the batch so the transient one-hot stays bounded
-    # (G*N bf16 per cloud; 64 MB/cloud at sa1's 32768 x 1024); largest
-    # divisor of B under the cap keeps lax.map's trip count minimal
-    cap = max(1, min(B, int(8e8 // max(flat_idx.shape[1] * N * 2, 1))))
-    chunk = next(c for c in range(cap, 0, -1) if B % c == 0)
-    grad_points = jax.lax.map(
-        chunk_bwd,
-        (flat_idx.reshape(B // chunk, chunk, -1),
-         flat_grad.reshape(B // chunk, chunk, -1, C)),
-    ).reshape(B, N, C)
+    # Chunk the G (gathered-rows) axis so the transient one-hot stays
+    # bounded (B*Gc*N bf16; 3.5 GB unchunked at sa1's 54 x 32768 x 1024).
+    # Chunking G — not B — keeps the batch axis whole, so a sharded batch
+    # axis (parallel/mesh.py obj_sharding) partitions the scan cleanly
+    # instead of forcing a reshard of the scanned operand.
+    cap = max(1, int(ONEHOT_TRANSIENT_CAP_BYTES // max(B * N * 2, 1)))
+    if G <= cap:
+        grad_points = seg_mm(flat_idx, flat_grad)
+    else:
+        chunk = next(c for c in range(cap, 0, -1) if G % c == 0)
+
+        def body(acc, args):
+            ci, cg = args
+            return acc + seg_mm(ci, cg), None
+
+        grad_points, _ = jax.lax.scan(
+            body,
+            jnp.zeros((B, N, C), jnp.float32),
+            (flat_idx.reshape(B, G // chunk, chunk).swapaxes(0, 1),
+             flat_grad.reshape(B, G // chunk, chunk, C).swapaxes(0, 1)),
+        )
     return grad_points.astype(grad.dtype), None
 
 

@@ -70,6 +70,25 @@ def test_index_points_mm_matches_gather(rng):
     np.testing.assert_allclose(g_mm, g_exact, atol=2e-2 * scale)
 
 
+def test_index_points_mm_chunked_backward(rng):
+    """G above the one-hot transient cap takes the lax.scan accumulation
+    path; the result must match the exact VJP the same way."""
+    from lsdm_tpu.ops.pointcloud import index_points_mm
+
+    N = 1024  # cap = 8e8 // (B*N*2) = 190 at B=2, so G=384 chunks (3x128)
+    pts = rng.randn(2, N, 3).astype(np.float32)
+    idx = rng.randint(0, N, size=(2, 24, 16))
+    jp, ji = jnp.asarray(pts), jnp.asarray(idx)
+
+    g_mm = jax.grad(
+        lambda p: jnp.sum(index_points_mm(p, ji, N) ** 2))(jp)
+    g_exact = jax.grad(
+        lambda p: jnp.sum(index_points(p, ji) ** 2))(jp)
+    scale = float(jnp.abs(g_exact).max())
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_exact),
+                               atol=2e-2 * scale)
+
+
 def test_chamfer_zero_for_identical(rng):
     x = rng.randn(2, 64, 3).astype(np.float32)
     assert float(chamfer_distance(jnp.asarray(x), jnp.asarray(x))) < 1e-6
