@@ -72,6 +72,11 @@ class SDMConfig:
     # Forward numerics are bit-identical either way; only grads differ
     # (bf16-grade).  Training CLIs/benches opt into "matmul".
     gather_bwd: str = "scatter"
+    # Ball-query formulation: "auto" derives it from the execution context
+    # (TopK custom call on one chip, partition-clean prefix-count when the
+    # object axis is sharded); "topk" / "scatter" / "binsearch" force one
+    # (ops/pointcloud.py:query_ball_point).
+    ball_impl: str = "auto"
 
 
 def sdm_proxd() -> SDMConfig:

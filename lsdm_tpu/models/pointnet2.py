@@ -73,8 +73,13 @@ class PointNetSetAbstraction(nn.Module):
     # neighbour-selection formulation: "topk" is fastest on one chip,
     # "spmd" partitions cleanly on a sharded batch axis (ops/pointcloud.py)
     select_impl: str = "topk"
+    # ball-query override: "auto" follows select_impl; or force one of
+    # query_ball_point's formulations ("topk"/"scatter"/"binsearch")
+    ball_impl: str = "auto"
     # "matmul": MXU one-hot backward for the grouping gather (faster than
     # XLA's serialized scatter-add at train shapes, bf16-grade grads);
+    # "matmul_fwd": one-hot matmul for the forward too (5x over the TPU
+    # random gather at sa1 shapes, PERF.md round-3; bf16-exact);
     # "scatter": exact VJP and the trace-identical default — eval/sample
     # programs keep their compiled-cache hash (ops/pointcloud.py:
     # index_points_mm)
@@ -95,9 +100,11 @@ class PointNetSetAbstraction(nn.Module):
             fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
             new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
         # nsample can exceed the available points in down-scaled test configs
+        ball = self.ball_impl
+        if ball == "auto":
+            ball = "scatter" if self.select_impl == "spmd" else "topk"
         idx = query_ball_point(
-            self.radius, min(self.nsample, N), xyz, new_xyz,
-            impl="scatter" if self.select_impl == "spmd" else "topk")
+            self.radius, min(self.nsample, N), xyz, new_xyz, impl=ball)
         if points is not None:
             # ONE gather of the pre-concatenated columns instead of two:
             # gather-then-concat == concat-then-gather, and the random-access
@@ -108,7 +115,10 @@ class PointNetSetAbstraction(nn.Module):
             if self.dtype != jnp.float32:
                 base = base.astype(self.dtype)
             gather = (index_points if self.gather_bwd == "scatter"
-                      else lambda p, i: index_points_mm(p, i, N))
+                      else lambda p, i: index_points_mm(
+                          p, i, N,
+                          "matmul" if self.gather_bwd == "matmul_fwd"
+                          else "gather"))
             grouped = gather(base, idx)  # (B, S, K, 3 + D)
             center = new_xyz[:, :, None, :].astype(grouped.dtype)
             new_points = jnp.concatenate(
@@ -175,6 +185,7 @@ class PointNet2Backbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_dtype: jnp.dtype = jnp.float32
     select_impl: str = "topk"
+    ball_impl: str = "auto"
     gather_bwd: str = "scatter"
 
     @nn.compact
@@ -190,10 +201,10 @@ class PointNet2Backbone(nn.Module):
         l0_xyz, l0_points = xyz, xyz
         p1, p2, p3, p4 = self.sa_npoints
         ns = self.sa_nsample
-        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, gather_bwd=self.gather_bwd, name="sa1")
-        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, gather_bwd=self.gather_bwd, name="sa2")
-        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, gather_bwd=self.gather_bwd, name="sa3")
-        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, gather_bwd=self.gather_bwd, name="sa4")
+        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, name="sa1")
+        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, name="sa2")
+        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, name="sa3")
+        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, name="sa4")
         l1_xyz, l1_points = sa1(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = sa2(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = sa3(l2_xyz, l2_points, train, keys[2])

@@ -128,6 +128,7 @@ class SceneDiffusionModel(nn.Module):
                 # (lax.top_k has no SPMD rule; see ops/pointcloud.py)
                 select_impl="spmd" if self.obj_sharding is not None
                 else "topk",
+                ball_impl=cfg.ball_impl,
                 gather_bwd=cfg.gather_bwd,
             )
         self.combine_extraction = MLP((D,), ("gelu",), dtype=dtype)

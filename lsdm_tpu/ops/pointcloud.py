@@ -62,31 +62,78 @@ def index_points(points: jax.Array, idx: jax.Array) -> jax.Array:
 ONEHOT_TRANSIENT_CAP_BYTES = 8e8
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def index_points_mm(points: jax.Array, idx: jax.Array,
-                    n_points: int) -> jax.Array:
-    """:func:`index_points` with a matmul backward.
+                    n_points: int, fwd: str = "gather") -> jax.Array:
+    """:func:`index_points` with a matmul backward (and optional matmul
+    forward).
 
-    Forward: identical gather (bit-exact).  Backward: the gather's VJP is a
-    segment-sum of (B, S*K) gradient rows into N bins — XLA lowers that to
-    a serialized scatter-add that measures ~28 ms at the sa1 training
-    shapes (PERF.md round-3 probe), the single largest op in the train
-    step.  Here the segment-sum is a one-hot contraction on the MXU
-    instead: grad_points[b, n] = sum_g [idx[b, g] == n] * grad[b, g],
-    chunked over the batch axis to bound the transient one-hot buffer.
-    Gradients are f32-pass accurate (HIGHEST), which training does not
-    distinguish; eval paths never see the difference.
+    Backward: the gather's VJP is a segment-sum of (B, S*K) gradient rows
+    into N bins — XLA lowers that to a serialized scatter-add that measures
+    ~28 ms at the sa1 training shapes (PERF.md round-3 probe), the single
+    largest op in the train step.  Here the segment-sum is a one-hot
+    contraction on the MXU instead: grad_points[b, n] =
+    sum_g [idx[b, g] == n] * grad[b, g], chunked over the gathered-rows
+    axis to bound the transient one-hot buffer.  Gradients are bf16-pass
+    accurate, which training does not distinguish; eval paths never see
+    the difference.
+
+    Forward (``fwd``):
+
+    * ``"gather"`` (default): ``take_along_axis`` — bit-exact.
+    * ``"matmul"``: the same one-hot contraction run forwards,
+      out[b, g] = sum_n [idx[b, g] == n] * points[b, n].  A TPU random
+      gather at (54, 32768)<-1024 rows measures 16.6 ms; the one-hot
+      matmul 3.3 ms (PERF.md round-3 layout probe) — selection via MXU
+      beats selection via addressing.  For bf16 inputs the result is
+      bit-exact (1.0 * v accumulated in f32); for fp32 the HIGHEST-pass
+      contraction is exact up to the bf16x3 operand split (~f32-exact).
 
     ``n_points`` must equal ``points.shape[1]`` (static).
     """
-    return index_points(points, idx)
+    if fwd == "gather":
+        return index_points(points, idx)
+    return _gather_mm(points, idx, n_points)
 
 
-def _index_points_mm_fwd(points, idx, n_points):
-    return index_points(points, idx), idx
+def _gather_mm(points, idx, n_points):
+    B = idx.shape[0]
+    C = points.shape[-1]
+    N = n_points
+    flat_idx = idx.reshape(B, -1)  # (B, G)
+    G = flat_idx.shape[1]
+    bf16 = points.dtype == jnp.bfloat16
+
+    def sel_mm(ci):
+        if bf16:
+            onehot = (ci[..., None] == jnp.arange(N)).astype(jnp.bfloat16)
+            out = jnp.einsum("bgn,bnc->bgc", onehot, points,
+                             preferred_element_type=jnp.float32)
+        else:
+            onehot = (ci[..., None] == jnp.arange(N)).astype(jnp.float32)
+            out = jnp.einsum("bgn,bnc->bgc", onehot,
+                             points.astype(jnp.float32),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+        return out.astype(points.dtype)
+
+    itemsize = 2 if bf16 else 4
+    cap = max(1, int(ONEHOT_TRANSIENT_CAP_BYTES // max(B * N * itemsize, 1)))
+    if G <= cap:
+        out = sel_mm(flat_idx)
+    else:
+        chunk = next(c for c in range(cap, 0, -1) if G % c == 0)
+        out = jax.lax.map(
+            sel_mm, flat_idx.reshape(B, G // chunk, chunk).swapaxes(0, 1)
+        ).swapaxes(0, 1).reshape(B, G, C)
+    return out.reshape(*idx.shape, C)
 
 
-def _index_points_mm_bwd(n_points, idx, grad):
+def _index_points_mm_fwd(points, idx, n_points, fwd):
+    return index_points_mm(points, idx, n_points, fwd), idx
+
+
+def _index_points_mm_bwd(n_points, fwd, idx, grad):
     B = idx.shape[0]
     C = grad.shape[-1]
     N = n_points
@@ -210,9 +257,9 @@ def query_ball_point(
     indices *sorted by index* (not by distance) within the radius; slots
     beyond the in-radius count repeat the first in-radius index.
 
-    Two equivalent formulations, picked per execution context (PERF.md):
+    Three equivalent formulations, picked per execution context (PERF.md):
 
-    * impl="topk" (default): mask + ``lax.top_k`` of negated indices.  On a
+    * impl="topk": mask + ``lax.top_k`` of negated indices.  On a
       single chip TPU's TopK custom call is fast — but it has no SPMD rule,
       so under a sharded object axis the partitioner all-gathers the full
       (B, S, N) tensor per device and sorts it redundantly (302 MB at the
@@ -221,13 +268,35 @@ def query_ball_point(
       rank in-radius points with a ``cumsum`` and scatter each index into
       its slot (row-wise vmapped scatter).  O(N), no sort, partitions with
       zero collectives; slower than the TopK custom call on one chip
-      (TPU scatter throughput), so the sharded backbone selects it
-      explicitly (``models/sdm.py``).
+      (TPU scatter throughput).
+    * impl="binsearch" (default): the in-radius rank ``cumsum`` is
+      nondecreasing along N, so "the k-th in-radius index" is
+      ``searchsorted(cumsum, k+1)`` — ceil(log2(N+1)) rounds of a tiny
+      (B, S, nsample) batched gather instead of a 1024-wide sort (topk)
+      or N sequential scatters.  No sort, no scatter, no TopK custom
+      call: partitions cleanly AND is the fastest single-chip form.
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     sqrdists = square_distance(new_xyz, xyz)  # (B, S, N)
-    if impl == "topk":
+    if impl == "binsearch":
+        mask = sqrdists <= radius**2  # (B, S, N)
+        cum = jnp.cumsum(mask.astype(jnp.int32), axis=-1)  # (B, S, N)
+        target = jnp.arange(1, nsample + 1, dtype=jnp.int32)  # k-th -> rank k+1
+        target = jnp.broadcast_to(target, (B, S, nsample))
+        # Leftmost n with cum[n] >= target, else N: classic lower-bound
+        # binary search, vectorized over all (B, S, nsample) queries.
+        lo = jnp.zeros((B, S, nsample), jnp.int32)
+        hi = jnp.full((B, S, nsample), N, jnp.int32)
+        for _ in range(max(1, (N).bit_length())):  # 2^rounds >= N+1 halvings
+            mid = (lo + hi) // 2
+            v = jnp.take_along_axis(cum, jnp.minimum(mid, N - 1), axis=-1)
+            open_ = lo < hi
+            found = v >= target
+            hi = jnp.where(open_ & found, mid, hi)
+            lo = jnp.where(open_ & ~found, mid + 1, lo)
+        group_idx = hi  # == lo; N where fewer than k in-radius points
+    elif impl == "topk":
         arange = jnp.broadcast_to(
             jax.lax.broadcasted_iota(jnp.int32, (B, S, N), 2), (B, S, N)
         )

@@ -38,6 +38,22 @@ def main():
     ap.add_argument("--noise_schedule", default="cosine")
     ap.add_argument("--pcd_points", type=int, default=None,
                     help="override cloud size (e.g. tiny smoke runs)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="denoiser/backbone compute dtype (params stay fp32; "
+                         "bf16 is ~+20%% training throughput, PERF.md)")
+    ap.add_argument("--bn_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="PointNet++ BatchNorm compute dtype")
+    ap.add_argument("--gather_bwd", default="matmul_fwd",
+                    choices=["scatter", "matmul", "matmul_fwd"],
+                    help="grouping-gather formulation; matmul_fwd (default "
+                         "for training) runs both directions as one-hot MXU "
+                         "contractions — fastest measured; 'scatter' is the "
+                         "bit-exact eval formulation (PERF.md round 3)")
+    ap.add_argument("--ball_impl", default="auto",
+                    choices=["auto", "topk", "scatter", "binsearch"],
+                    help="ball-query formulation (PERF.md round 3)")
     ap.add_argument(
         "--platform", default=None,
         help="force a jax platform (e.g. cpu); the ambient axon TPU backend "
@@ -61,13 +77,17 @@ def main():
     model_cfg = (
         cfg_lib.sdm_proxd() if args.datatype == "proxd" else cfg_lib.sdm_humanise()
     )
-    if args.pcd_points:
-        import dataclasses
+    import dataclasses
 
+    if args.pcd_points:
         model_cfg = dataclasses.replace(
             model_cfg, pcd_points=args.pcd_points,
             vert_dims=min(model_cfg.vert_dims, args.pcd_points),
         )
+    model_cfg = dataclasses.replace(
+        model_cfg, dtype=args.dtype, bn_dtype=args.bn_dtype,
+        gather_bwd=args.gather_bwd, ball_impl=args.ball_impl,
+    )
     diff_cfg = DiffusionConfig(
         steps=args.diffusion_steps, noise_schedule=args.noise_schedule
     )

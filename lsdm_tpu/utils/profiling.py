@@ -37,7 +37,13 @@ def scan_bench(
 ) -> float:
     """Per-iteration device time of ``step_fn`` (shape-preserving x -> x),
     measured as one scan of ``reps`` iterations per dispatch.  Returns
-    seconds/iteration."""
+    seconds/iteration.
+
+    Synchronization: ``block_until_ready`` does not reliably block on the
+    axon transport (PERF.md), so the jitted program reduces its output to a
+    scalar and the timed region fetches it to the host — a forced transfer
+    is the only dependable fence.  The ~one-dispatch overhead this adds is
+    amortized over ``reps`` (use reps >= 20 on the tunneled TPU)."""
 
     @jax.jit
     def run(x):
@@ -45,14 +51,17 @@ def scan_bench(
             return step_fn(c), None
 
         out, _ = jax.lax.scan(body, x, None, length=reps)
-        return out
+        return out, jnp.sum(
+            jax.tree_util.tree_reduce(
+                lambda a, l: a + jnp.sum(l).astype(jnp.float32),
+                out, jnp.float32(0.0)))
 
     for _ in range(warmup):
-        jax.block_until_ready(run(x0))
+        float(run(x0)[1])  # host fetch = real fence
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x0))
+        float(run(x0)[1])
         best = min(best, time.perf_counter() - t0)
     return best / reps
 

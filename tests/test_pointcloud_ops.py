@@ -286,6 +286,72 @@ def test_query_ball_point_scatter_matches_topk(rng):
         assert (a == b).all(), (a != b).sum()
 
 
+def test_query_ball_point_binsearch_matches_topk(rng):
+    """The lower-bound binary search over the in-radius prefix count == the
+    top_k formulation, including degenerate rows (no in-radius point) and
+    K > N configs (ops/pointcloud.py:query_ball_point impl="binsearch")."""
+    import jax.numpy as jnp
+
+    from lsdm_tpu.ops.pointcloud import query_ball_point
+
+    for (B, N, S, K, r) in [(2, 64, 64, 8, 0.5), (3, 128, 32, 16, 0.2),
+                            (1, 16, 16, 32, 0.05), (2, 100, 7, 4, 3.0)]:
+        xyz = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+        new_xyz = jnp.asarray(xyz[:, :S], jnp.float32)
+        a = query_ball_point(r, min(K, N), xyz, new_xyz, impl="binsearch")
+        b = query_ball_point(r, min(K, N), xyz, new_xyz, impl="topk")
+        assert (a == b).all(), (a != b).sum()
+
+
+def test_index_points_mm_matmul_forward(rng):
+    """fwd="matmul" selection: exact for bf16 inputs (1.0 * v accumulated
+    in f32), ~f32-exact for fp32 (HIGHEST passes); backward unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsdm_tpu.ops.pointcloud import index_points_mm
+
+    pts = rng.randn(3, 53, 7).astype(np.float32)
+    idx = rng.randint(0, 53, size=(3, 9, 4))
+    jp, ji = jnp.asarray(pts), jnp.asarray(idx)
+
+    exact = np.asarray(index_points(jp, ji))
+    mm = np.asarray(index_points_mm(jp, ji, 53, "matmul"))
+    np.testing.assert_allclose(mm, exact, atol=1e-6)
+
+    bp = jp.astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(index_points_mm(bp, ji, 53, "matmul"), np.float32),
+        np.asarray(index_points(bp, ji), np.float32))
+
+    g_mm = jax.grad(lambda p: jnp.sum(
+        jnp.sin(index_points_mm(p, ji, 53, "matmul")) ** 2))(jp)
+    g_exact = jax.grad(lambda p: jnp.sum(
+        jnp.sin(index_points(p, ji)) ** 2))(jp)
+    scale = float(jnp.abs(g_exact).max())
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_exact),
+                               atol=2e-2 * scale)
+
+
+def test_index_points_mm_matmul_forward_chunked(rng):
+    """G above the transient cap runs the lax.map chunked forward; the
+    selection must stay exact."""
+    import lsdm_tpu.ops.pointcloud as pc
+
+    N = 256
+    pts = rng.randn(2, N, 3).astype(np.float32)
+    idx = rng.randint(0, N, size=(2, 30, 8))
+    jp, ji = jnp.asarray(pts), jnp.asarray(idx)
+    old = pc.ONEHOT_TRANSIENT_CAP_BYTES
+    try:
+        pc.ONEHOT_TRANSIENT_CAP_BYTES = 2 * N * 4 * 60  # cap G chunks at 60
+        mm = np.asarray(pc.index_points_mm(jp, ji, N, "matmul"))
+    finally:
+        pc.ONEHOT_TRANSIENT_CAP_BYTES = old
+    np.testing.assert_allclose(mm, np.asarray(index_points(jp, ji)),
+                               atol=1e-6)
+
+
 def test_smallest_k_matches_top_k(rng):
     import jax
     import jax.numpy as jnp

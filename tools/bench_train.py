@@ -37,9 +37,13 @@ def main():
     ap.add_argument("--chamfer", default="xla", choices=["xla", "pallas"],
                     help="training-loss chamfer implementation")
     ap.add_argument("--gather_bwd", default="matmul",
-                    choices=["scatter", "matmul"],
+                    choices=["scatter", "matmul", "matmul_fwd"],
                     help="grouping-gather VJP: exact scatter-add vs "
-                         "one-hot MXU contraction (PERF.md round 3)")
+                         "one-hot MXU contraction; matmul_fwd also runs "
+                         "the forward on the MXU (PERF.md round 3)")
+    ap.add_argument("--ball_impl", default="auto",
+                    choices=["auto", "topk", "scatter", "binsearch"],
+                    help="ball-query formulation (PERF.md round 3)")
     ap.add_argument("--ablate", default=None,
                     choices=[None, "ballquery", "fps", "pcd_backbone"],
                     help="replace a component with a stub to attribute "
@@ -75,7 +79,8 @@ def main():
     else:
         cfg = cfg_lib.sdm_proxd()
     cfg = dataclasses.replace(cfg, dtype=args.dtype, bn_dtype=args.bn_dtype,
-                              gather_bwd=args.gather_bwd)
+                              gather_bwd=args.gather_bwd,
+                              ball_impl=args.ball_impl)
 
     if args.ablate == "ballquery":
         # stub: first-K indices instead of the radius search — isolates the
