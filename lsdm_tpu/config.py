@@ -73,9 +73,9 @@ class SDMConfig:
     # (bf16-grade).  Training CLIs/benches opt into "matmul".
     gather_bwd: str = "scatter"
     # Ball-query formulation: "auto" derives it from the execution context
-    # (TopK custom call on one chip, partition-clean prefix-count when the
-    # object axis is sharded); "topk" / "scatter" / "binsearch" force one
-    # (ops/pointcloud.py:query_ball_point).
+    # (TopK custom call on one chip, the partitioned top_k "topk_p" when
+    # the object axis is sharded); "topk" / "topk_p" / "scatter" /
+    # "binsearch" force one (ops/pointcloud.py:query_ball_point).
     ball_impl: str = "auto"
 
 

@@ -64,7 +64,9 @@ class DGCNN(nn.Module):
         outs = []
         h = x
         for i, feats in enumerate((64, 64, 128, 256)):
-            e = edge_features(h, k, impl="argmin" if self.select_impl == "spmd" else "topk")  # (B, N, k, 2C)
+            # sharded context: the partitioned top_k keeps the fast TopK
+            # custom call and zero collectives (ops/pointcloud.py:topk_rows)
+            e = edge_features(h, k, impl="topk_p" if self.select_impl == "spmd" else "topk")  # (B, N, k, 2C)
             e = _ConvBNLeaky(feats, dtype=self.dtype, name=f"conv{i + 1}")(e, train)
             h = jnp.max(e, axis=2)  # (B, N, feats)
             outs.append(h)

@@ -74,7 +74,8 @@ class PointNetSetAbstraction(nn.Module):
     # "spmd" partitions cleanly on a sharded batch axis (ops/pointcloud.py)
     select_impl: str = "topk"
     # ball-query override: "auto" follows select_impl; or force one of
-    # query_ball_point's formulations ("topk"/"scatter"/"binsearch")
+    # query_ball_point's formulations ("topk"/"topk_p"/"scatter"/
+    # "binsearch")
     ball_impl: str = "auto"
     # "matmul": MXU one-hot backward for the grouping gather (faster than
     # XLA's serialized scatter-add at train shapes, bf16-grade grads);
@@ -102,7 +103,11 @@ class PointNetSetAbstraction(nn.Module):
         # nsample can exceed the available points in down-scaled test configs
         ball = self.ball_impl
         if ball == "auto":
-            ball = "scatter" if self.select_impl == "spmd" else "topk"
+            # sharded context: partitioned top_k — the TopK custom call per
+            # batch shard, zero collectives (ops/pointcloud.py:topk_rows).
+            # The scatter/binsearch reformulations also partition but are
+            # 18x/26x slower on-chip (PERF.md round 3).
+            ball = "topk_p" if self.select_impl == "spmd" else "topk"
         idx = query_ball_point(
             self.radius, min(self.nsample, N), xyz, new_xyz, impl=ball)
         if points is not None:
@@ -159,7 +164,7 @@ class PointNetFeaturePropagation(nn.Module):
         else:
             interpolated = three_nn_interpolate(
                 xyz1, xyz2, points2,
-                impl="argmin" if self.select_impl == "spmd" else "topk")
+                impl="topk_p" if self.select_impl == "spmd" else "topk")
         if points1 is not None:
             new_points = jnp.concatenate([points1, interpolated], axis=-1)
         else:

@@ -257,29 +257,41 @@ def query_ball_point(
     indices *sorted by index* (not by distance) within the radius; slots
     beyond the in-radius count repeat the first in-radius index.
 
-    Three equivalent formulations, picked per execution context (PERF.md):
+    Four equivalent formulations, picked per execution context (PERF.md
+    round-3 on-chip timings at sa1 train shapes in parentheses):
 
-    * impl="topk": mask + ``lax.top_k`` of negated indices.  On a
+    * impl="topk" (15.5 ms): mask + ``lax.top_k`` of negated indices.  On a
       single chip TPU's TopK custom call is fast — but it has no SPMD rule,
       so under a sharded object axis the partitioner all-gathers the full
       (B, S, N) tensor per device and sorts it redundantly (302 MB at the
-      flagship config).
-    * impl="scatter": "first nsample in-radius indices" is a prefix count —
-      rank in-radius points with a ``cumsum`` and scatter each index into
-      its slot (row-wise vmapped scatter).  O(N), no sort, partitions with
-      zero collectives; slower than the TopK custom call on one chip
-      (TPU scatter throughput).
-    * impl="binsearch" (default): the in-radius rank ``cumsum`` is
+      flagship config).  Single-chip default.
+    * impl="topk_p": the same computation through :func:`topk_rows`, which
+      carries a ``custom_partitioning`` rule — per-shard TopK custom call,
+      zero collectives.  Sharded-context default.
+    * impl="scatter" (272 ms): "first nsample in-radius indices" is a
+      prefix count — rank in-radius points with a ``cumsum`` and scatter
+      each index into its slot (row-wise vmapped scatter).  O(N), no sort,
+      partitions with zero collectives; TPU serializes the scatter.
+    * impl="binsearch" (399 ms): the in-radius rank ``cumsum`` is
       nondecreasing along N, so "the k-th in-radius index" is
-      ``searchsorted(cumsum, k+1)`` — ceil(log2(N+1)) rounds of a tiny
-      (B, S, nsample) batched gather instead of a 1024-wide sort (topk)
-      or N sequential scatters.  No sort, no scatter, no TopK custom
-      call: partitions cleanly AND is the fastest single-chip form.
+      ``searchsorted(cumsum, k+1)`` — ceil(log2(N+1)) rounds of a
+      (B, S, nsample) batched gather.  Elegant, partitions cleanly, and
+      slow: 11 rounds of random-access gather is the one memory pattern
+      the TPU cannot pipeline (the cumsum itself is only 0.8 ms).
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     sqrdists = square_distance(new_xyz, xyz)  # (B, S, N)
-    if impl == "binsearch":
+    if impl == "topk_p":
+        # partitioned top_k: the fast single-chip path, minus the SPMD
+        # all-gather (topk_rows) — the sharded-context default
+        arange = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (B, S, N), 2), (B, S, N)
+        )
+        cand = jnp.where(sqrdists > radius**2, N, arange)
+        neg_topk, _ = topk_rows(-cand, nsample)
+        group_idx = jnp.sort(-neg_topk, axis=-1)
+    elif impl == "binsearch":
         mask = sqrdists <= radius**2  # (B, S, N)
         cum = jnp.cumsum(mask.astype(jnp.int32), axis=-1)  # (B, S, N)
         target = jnp.arange(1, nsample + 1, dtype=jnp.int32)  # k-th -> rank k+1
@@ -333,6 +345,97 @@ def query_ball_point(
     return jnp.clip(group_idx, 0, N - 1)
 
 
+def _topk_rows_factory():
+    """Build the partitioned row-wise top_k (module-level singleton so every
+    caller shares one custom-call registration).
+
+    ``lax.top_k`` has no SPMD rule: under a sharded batch axis the
+    partitioner all-gathers the whole operand and sorts it redundantly on
+    every device (the 302 MB all-gather of PERF.md round 3).  But top_k is
+    row-wise — batch dims are embarrassingly parallel — so this wrapper
+    teaches it the missing rule via ``custom_partitioning``: keep any
+    sharding on the leading dims, require only the last (row) dim and the
+    tiny k dim replicated, and run the fast TopK custom call on each
+    device's local shard.  Measured: the prefix-count scatter and
+    binary-search reformulations that avoid top_k cost 272 / 399 ms at sa1
+    train shapes vs 15.5 ms for TopK (PERF.md) — partitioning the fast op
+    beats reformulating around it.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _row_replicated(sharding, ndim):
+        spec = tuple(sharding.spec[: ndim - 1])
+        spec = spec + (None,) * (ndim - len(spec))
+        return NamedSharding(sharding.mesh, PartitionSpec(*spec))
+
+    def _impl(x, k):
+        return jax.lax.top_k(x, k)
+
+    f = custom_partitioning(_impl, static_argnums=(1,))
+
+    # static_argnums args (k) are prepended to every callback
+    def _infer(k, mesh, arg_shapes, result_shape):
+        s = _row_replicated(arg_shapes[0].sharding, len(arg_shapes[0].shape))
+        return [s, s]  # list: must match the out_tree structure
+
+    def _partition(k, mesh, arg_shapes, result_shape):
+        arg_sh = (_row_replicated(arg_shapes[0].sharding,
+                                  len(arg_shapes[0].shape)),)
+        out_sh = [arg_sh[0], arg_sh[0]]
+        return mesh, lambda x: jax.lax.top_k(x, k), out_sh, arg_sh
+
+    f.def_partition(
+        partition=_partition,
+        infer_sharding_from_operands=_infer,
+        # shardy path: batch factors pass through; the row dim n and the
+        # result dim k must stay replicated on every shard
+        sharding_rule="... n -> ... k, ... k",
+        need_replication_factors=("n", "k"),
+    )
+    return f
+
+
+_TOPK_ROWS = None
+
+
+def _topk_rows_raw(x, k):
+    global _TOPK_ROWS
+    if _TOPK_ROWS is None:
+        _TOPK_ROWS = _topk_rows_factory()
+    return _TOPK_ROWS(x, k)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def topk_rows(x: jax.Array, k: int):
+    """``lax.top_k`` with batch-dim partitioning (values, indices).
+
+    Identical results to ``lax.top_k``; under a sharded leading axis it
+    partitions instead of all-gathering (see :func:`_topk_rows_factory`).
+    The custom-partitioning primitive has no autodiff rule, so this wraps
+    it with top_k's own VJP (value cotangents scatter back to their source
+    positions; needed when a DGCNN dynamic graph is built on
+    param-dependent features).
+    """
+    return _topk_rows_raw(x, k)
+
+
+def _topk_rows_fwd(x, k):
+    vals, idx = _topk_rows_raw(x, k)
+    return (vals, idx), (idx, x.shape[-1])
+
+
+def _topk_rows_bwd(k, res, ct):
+    idx, n = res
+    ct_vals = ct[0]  # idx cotangent is symbolic-zero (int output)
+    gx = jnp.zeros(idx.shape[:-1] + (n,), ct_vals.dtype)
+    return (jnp.put_along_axis(gx, idx, ct_vals, axis=-1,
+                               inplace=False),)
+
+
+topk_rows.defvjp(_topk_rows_fwd, _topk_rows_bwd)
+
+
 def smallest_k(d: jax.Array, k: int):
     """(values, indices) of the k smallest entries along the last axis,
     ascending, ties to the lowest index — ``lax.top_k(-d, k)`` semantics
@@ -363,6 +466,8 @@ def knn(x: jax.Array, k: int, impl: str = "topk") -> jax.Array:
     d = square_distance(x, x)
     if impl == "topk":
         _, idx = jax.lax.top_k(-d, k)
+    elif impl == "topk_p":
+        _, idx = topk_rows(-d, k)
     else:
         _, idx = smallest_k(d, k)
     return idx
@@ -387,6 +492,9 @@ def three_nn_interpolate(
     k = min(3, xyz2.shape[1])  # reference always has S>=16; tiny configs don't
     if impl == "topk":  # fast single-chip custom call; no SPMD rule
         neg_top, idx = jax.lax.top_k(-d, k)
+        dists = -neg_top
+    elif impl == "topk_p":  # partitioned top_k (topk_rows)
+        neg_top, idx = topk_rows(-d, k)
         dists = -neg_top
     else:  # "argmin": k reduction passes; partitions cleanly
         dists, idx = smallest_k(d, k)

@@ -52,7 +52,8 @@ def main():
                          "contractions — fastest measured; 'scatter' is the "
                          "bit-exact eval formulation (PERF.md round 3)")
     ap.add_argument("--ball_impl", default="auto",
-                    choices=["auto", "topk", "scatter", "binsearch"],
+                    choices=["auto", "topk", "topk_p", "scatter",
+                             "binsearch"],
                     help="ball-query formulation (PERF.md round 3)")
     ap.add_argument(
         "--platform", default=None,

@@ -352,6 +352,54 @@ def test_index_points_mm_matmul_forward_chunked(rng):
                                atol=1e-6)
 
 
+def test_topk_rows_matches_lax_top_k(rng):
+    """topk_rows == lax.top_k (values, indices, and VJP), and the topk_p
+    ball query == the topk ball query (ops/pointcloud.py:topk_rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsdm_tpu.ops.pointcloud import query_ball_point, topk_rows
+
+    x = jnp.asarray(rng.randn(4, 9, 40), jnp.float32)
+    v, i = jax.jit(lambda x: topk_rows(x, 6))(x)
+    rv, ri = jax.lax.top_k(x, 6)
+    assert (v == rv).all() and (i == ri).all()
+
+    g = jax.grad(lambda x: jnp.sum(jnp.sin(topk_rows(x, 6)[0])))(x)
+    rg = jax.grad(lambda x: jnp.sum(jnp.sin(jax.lax.top_k(x, 6)[0])))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(rg), atol=1e-7)
+
+    xyz = jnp.asarray(rng.randn(3, 64, 3), jnp.float32)
+    a = query_ball_point(0.4, 8, xyz, xyz, impl="topk")
+    b = query_ball_point(0.4, 8, xyz, xyz, impl="topk_p")
+    assert (a == b).all()
+
+
+def test_topk_rows_partitions_without_allgather(rng):
+    """The custom_partitioning rule: a batch-sharded operand lowers to a
+    per-shard TopK with NO all-gather (the 302 MB failure mode of raw
+    lax.top_k, PERF.md round 3)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lsdm_tpu.ops import pointcloud as pc
+    from lsdm_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh((8, 1))
+    x = jnp.asarray(rng.randn(8, 16, 64), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P(("data", "model"))))
+    f = jax.jit(lambda x: pc.topk_rows(x, 5))
+    hlo = f.lower(xs).compile().as_text()
+    assert not re.search(r"all-gather", hlo), "topk_rows re-replicated"
+    v, i = f(xs)
+    rv, ri = jax.lax.top_k(x, 5)
+    assert (np.asarray(v) == np.asarray(rv)).all()
+    assert (np.asarray(i) == np.asarray(ri)).all()
+
+
 def test_smallest_k_matches_top_k(rng):
     import jax
     import jax.numpy as jnp

@@ -42,7 +42,8 @@ def main():
                          "one-hot MXU contraction; matmul_fwd also runs "
                          "the forward on the MXU (PERF.md round 3)")
     ap.add_argument("--ball_impl", default="auto",
-                    choices=["auto", "topk", "scatter", "binsearch"],
+                    choices=["auto", "topk", "topk_p", "scatter",
+                             "binsearch"],
                     help="ball-query formulation (PERF.md round 3)")
     ap.add_argument("--ablate", default=None,
                     choices=[None, "ballquery", "fps", "pcd_backbone"],
