@@ -43,6 +43,11 @@ def main():
                     help="encode conditioning in batch chunks of this size "
                          "(caps the PointNet++ activation peak; see "
                          "models/sampling.py)")
+    ap.add_argument("--ball_impl", default="auto",
+                    choices=["auto", "topk", "topk_p", "topk2", "scatter",
+                             "binsearch"],
+                    help="ball-query formulation A/B (PERF.md round 3); "
+                         "'auto' = the production default")
     ap.add_argument("--no_baseline", action="store_true",
                     help="skip the host-loop baseline (vs_baseline=0); "
                          "useful for batched-throughput rows where only "
@@ -80,7 +85,8 @@ def main():
         cfg = cfg_lib.sdm_proxd()  # full-size: 1024 pts, latent 128
         T = args.steps
         baseline_steps = args.baseline_steps
-    cfg = dataclasses.replace(cfg, dtype=args.dtype)
+    cfg = dataclasses.replace(cfg, dtype=args.dtype,
+                              ball_impl=args.ball_impl)
 
     B, O, N = args.batch, cfg.max_objs, cfg.pcd_points
     key = jax.random.PRNGKey(0)

@@ -268,6 +268,9 @@ def query_ball_point(
     * impl="topk_p": the same computation through :func:`topk_rows`, which
       carries a ``custom_partitioning`` rule — per-shard TopK custom call,
       zero collectives.  Sharded-context default.
+    * impl="topk2": hierarchical selection (:func:`smallest_k2`) — chunked
+      local top-k plus a short merge sort replaces the full 1024-wide
+      sort.  Identical results (unique iota candidates).
     * impl="scatter" (272 ms): "first nsample in-radius indices" is a
       prefix count — rank in-radius points with a ``cumsum`` and scatter
       each index into its slot (row-wise vmapped scatter).  O(N), no sort,
@@ -308,16 +311,21 @@ def query_ball_point(
             hi = jnp.where(open_ & found, mid, hi)
             lo = jnp.where(open_ & ~found, mid + 1, lo)
         group_idx = hi  # == lo; N where fewer than k in-radius points
-    elif impl == "topk":
+    elif impl in ("topk", "topk2"):
         arange = jnp.broadcast_to(
             jax.lax.broadcasted_iota(jnp.int32, (B, S, N), 2), (B, S, N)
         )
         cand = jnp.where(sqrdists > radius**2, N, arange)
-        # top_k of negated values = nsample smallest; ties keep lowest
-        # index order because iota values are unique.
-        neg_topk, _ = jax.lax.top_k(-cand, nsample)
-        group_idx = -neg_topk
-        group_idx = jnp.sort(group_idx, axis=-1)
+        if impl == "topk2":
+            # hierarchical selection: chunk-local top-k then a short merge
+            # sort, instead of one full-width sort (smallest_k2)
+            group_idx, _ = smallest_k2(cand, nsample)
+        else:
+            # top_k of negated values = nsample smallest; ties keep lowest
+            # index order because iota values are unique.
+            neg_topk, _ = jax.lax.top_k(-cand, nsample)
+            group_idx = -neg_topk
+            group_idx = jnp.sort(group_idx, axis=-1)
     else:
         mask = sqrdists <= radius**2  # (B, S, N)
         rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1)  # 1-indexed
@@ -456,6 +464,47 @@ def smallest_k(d: jax.Array, k: int):
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
 
 
+def smallest_k2(d: jax.Array, k: int, chunk: int = 128,
+                topk_fn=jax.lax.top_k):
+    """Two-level (hierarchical) k-smallest along the last axis —
+    ``smallest_k`` semantics (ascending values, ties to the lowest index)
+    at a fraction of the sort cost.
+
+    TPU's TopK custom call sorts the full row; at N=1024 that sort IS the
+    ball-query cost (PERF.md round 3: 15.5 ms at sa1 train shapes).  But
+    at most ``k`` of the global k-smallest can live in any one chunk, so:
+    split the row into ``chunk``-wide pieces, take each piece's local
+    k-smallest (narrow sorts), then select the global k among the
+    ``ceil(N/chunk)*k`` survivors (one short sort).
+
+    Tie-breaking stays exact: survivors are laid out chunk-major then
+    rank-major, so for equal values the lowest merged position is the
+    lowest global index — the same rule as ``top_k`` on the full row.
+
+    ``topk_fn`` lets a sharded caller substitute :func:`topk_rows` so both
+    levels keep their partitioning.
+    """
+    *lead, N = d.shape
+    kk = min(k, N)
+    C = -(-N // chunk)
+    if C <= 1 or k >= chunk:
+        neg, idx = topk_fn(-d, kk)
+        return -neg, idx
+    pad = C * chunk - N
+    if pad:
+        fill = (jnp.iinfo(d.dtype).max if jnp.issubdtype(d.dtype, jnp.integer)
+                else jnp.inf)
+        d = jnp.pad(d, [(0, 0)] * len(lead) + [(0, pad)],
+                    constant_values=fill)
+    dc = d.reshape(*lead, C, chunk)
+    neg_local, local_idx = topk_fn(-dc, kk)  # (..., C, kk)
+    base = (jnp.arange(C, dtype=jnp.int32) * chunk)[:, None]
+    global_idx = (local_idx + base).reshape(*lead, C * kk)
+    neg_vals, pos = topk_fn(neg_local.reshape(*lead, C * kk), kk)
+    idx = jnp.take_along_axis(global_idx, pos, axis=-1)
+    return -neg_vals, idx
+
+
 def knn(x: jax.Array, k: int, impl: str = "topk") -> jax.Array:
     """k-nearest-neighbour indices (B, N, k) by negative squared distance
     (reference ``model/pcd_backbone/dgcnn.py:21-27``).
@@ -468,6 +517,8 @@ def knn(x: jax.Array, k: int, impl: str = "topk") -> jax.Array:
         _, idx = jax.lax.top_k(-d, k)
     elif impl == "topk_p":
         _, idx = topk_rows(-d, k)
+    elif impl == "topk2":
+        _, idx = smallest_k2(d, k)
     else:
         _, idx = smallest_k(d, k)
     return idx
@@ -496,6 +547,8 @@ def three_nn_interpolate(
     elif impl == "topk_p":  # partitioned top_k (topk_rows)
         neg_top, idx = topk_rows(-d, k)
         dists = -neg_top
+    elif impl == "topk2":  # hierarchical selection (smallest_k2)
+        dists, idx = smallest_k2(d, k)
     else:  # "argmin": k reduction passes; partitions cleanly
         dists, idx = smallest_k(d, k)
     dist_recip = 1.0 / (dists + eps)

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--cond_chunk", type=int, default=None,
                     help="encode conditioning in batch chunks (memory cap, "
                          "models/sampling.py)")
+    ap.add_argument("--ball_impl", default="auto",
+                    choices=["auto", "topk", "topk_p", "topk2", "scatter",
+                             "binsearch"],
+                    help="ball-query formulation (PERF.md round 3); all "
+                         "choices produce identical indices")
     args = ap.parse_args()
 
     import jax
@@ -66,13 +71,14 @@ def main():
     model_cfg = (
         cfg_lib.sdm_proxd() if args.datatype == "proxd" else cfg_lib.sdm_humanise()
     )
-    if args.pcd_points:
-        import dataclasses
+    import dataclasses
 
+    if args.pcd_points:
         model_cfg = dataclasses.replace(
             model_cfg, pcd_points=args.pcd_points,
             vert_dims=min(model_cfg.vert_dims, args.pcd_points),
         )
+    model_cfg = dataclasses.replace(model_cfg, ball_impl=args.ball_impl)
     ds_cls = ProxDatasetTxt if args.datatype == "proxd" else Humanise
     objs_kw = {}
     if args.objs_data_dir:

@@ -400,6 +400,47 @@ def test_topk_rows_partitions_without_allgather(rng):
     assert (np.asarray(i) == np.asarray(ri)).all()
 
 
+def test_smallest_k2_matches_top_k(rng):
+    """Hierarchical two-level selection == lax.top_k (values, indices,
+    tie-breaking) across chunk-divisible, padded, and degenerate widths;
+    and the topk2 ball query / knn / 3-NN match the topk paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsdm_tpu.ops.pointcloud import (
+        knn, query_ball_point, smallest_k2, three_nn_interpolate)
+
+    for n, chunk in [(512, 128), (300, 128), (40, 128), (256, 64)]:
+        d = jnp.asarray(rng.randn(3, 7, n), jnp.float32)
+        v, i = smallest_k2(d, 5, chunk=chunk)
+        rn, ri = jax.lax.top_k(-d, 5)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(-rn))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+    # ties resolve to the lowest index, exactly like top_k
+    d = jnp.asarray(rng.randint(0, 4, (4, 9, 320)), jnp.int32)
+    v, i = smallest_k2(d, 6)
+    rn, ri = jax.lax.top_k(-d, 6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+    xyz = jnp.asarray(rng.randn(3, 260, 3), jnp.float32)
+    a = query_ball_point(0.5, 16, xyz, xyz[:, :40], impl="topk")
+    b = query_ball_point(0.5, 16, xyz, xyz[:, :40], impl="topk2")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    x = jnp.asarray(rng.randn(2, 200, 8), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(knn(x, 7, impl="topk")), np.asarray(knn(x, 7, impl="topk2")))
+
+    p2 = jnp.asarray(rng.randn(2, 200, 5), jnp.float32)
+    xa = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+    xb = jnp.asarray(rng.randn(2, 200, 3), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(three_nn_interpolate(xa, xb, p2, impl="topk")),
+        np.asarray(three_nn_interpolate(xa, xb, p2, impl="topk2")),
+        atol=1e-6)
+
+
 def test_smallest_k_matches_top_k(rng):
     import jax
     import jax.numpy as jnp
