@@ -48,6 +48,11 @@ def main():
                              "binsearch"],
                     help="ball-query formulation A/B (PERF.md round 3); "
                          "'auto' = the production default")
+    ap.add_argument("--gather_bwd", default="scatter",
+                    choices=["scatter", "matmul", "matmul_fwd"],
+                    help="grouping-gather formulation; matmul_fwd runs the "
+                         "forward gathers as one-hot MXU contractions "
+                         "(bf16-grade numerics; PERF.md round 3)")
     ap.add_argument("--no_baseline", action="store_true",
                     help="skip the host-loop baseline (vs_baseline=0); "
                          "useful for batched-throughput rows where only "
@@ -86,7 +91,8 @@ def main():
         T = args.steps
         baseline_steps = args.baseline_steps
     cfg = dataclasses.replace(cfg, dtype=args.dtype,
-                              ball_impl=args.ball_impl)
+                              ball_impl=args.ball_impl,
+                              gather_bwd=args.gather_bwd)
 
     B, O, N = args.batch, cfg.max_objs, cfg.pcd_points
     key = jax.random.PRNGKey(0)

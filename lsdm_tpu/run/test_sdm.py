@@ -45,6 +45,11 @@ def main():
                              "binsearch"],
                     help="ball-query formulation (PERF.md round 3); all "
                          "choices produce identical indices")
+    ap.add_argument("--gather_bwd", default="scatter",
+                    choices=["scatter", "matmul", "matmul_fwd"],
+                    help="grouping-gather formulation; 'scatter' (default) "
+                         "is bit-exact, matmul_fwd trades bf16-grade gather "
+                         "numerics for encode speed (PERF.md round 3)")
     args = ap.parse_args()
 
     import jax
@@ -78,7 +83,8 @@ def main():
             model_cfg, pcd_points=args.pcd_points,
             vert_dims=min(model_cfg.vert_dims, args.pcd_points),
         )
-    model_cfg = dataclasses.replace(model_cfg, ball_impl=args.ball_impl)
+    model_cfg = dataclasses.replace(model_cfg, ball_impl=args.ball_impl,
+                                    gather_bwd=args.gather_bwd)
     ds_cls = ProxDatasetTxt if args.datatype == "proxd" else Humanise
     objs_kw = {}
     if args.objs_data_dir:
