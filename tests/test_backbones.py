@@ -50,6 +50,7 @@ def test_stgcn_shapes(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_sdm_with_alternate_backbones(rng):
     cfg = SDMConfig(
         clip_dim=32, latent_dim=16, cat_emb=8, n_head=4, vert_dims=24,

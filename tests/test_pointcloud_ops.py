@@ -2,6 +2,7 @@
 emulations of the reference's pointnet2_utils)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -226,6 +227,7 @@ def test_topk_accuracy():
     assert float(top3) == 100.0
 
 
+@pytest.mark.slow
 def test_fps_auto_within_exact_randomness_envelope():
     """fps_mode="auto" (identity order when npoint == N) must be statistically
     indistinguishable from the reference's random-start FPS permutation

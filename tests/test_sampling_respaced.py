@@ -15,6 +15,7 @@ TINY = SDMConfig(clip_dim=32, latent_dim=16, cat_emb=8, n_head=4, vert_dims=24,
 B, O, N = 1, 9, 32
 
 
+@pytest.mark.slow
 def test_sample_sdm_with_respacing():
     """ddim-respaced schedule + timestep_map conditioning: 5 steps standing
     in for a 20-step process, model sees original-scale timesteps."""
