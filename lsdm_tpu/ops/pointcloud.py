@@ -271,6 +271,14 @@ def query_ball_point(
     * impl="topk2": hierarchical selection (:func:`smallest_k2`) — chunked
       local top-k plus a short merge sort replaces the full 1024-wide
       sort.  Identical results (unique iota candidates).
+    * impl="topk2c": hierarchical selection with the distance tensor
+      computed NATIVELY in chunked (B, S, N/128, 128) layout — one
+      ``dot_general`` emits the chunked shape directly, so the chunk split
+      is free instead of a reshape of the fused (B, S, N) producer (the
+      reshape is what regressed plain "topk2" in composed programs,
+      PERF.md round 3).  Identical results to "topk" (candidate values are
+      unique global indices).  Falls back to "topk" when N < 256 or N is
+      not a multiple of 128.
     * impl="scatter" (272 ms): "first nsample in-radius indices" is a
       prefix count — rank in-radius points with a ``cumsum`` and scatter
       each index into its slot (row-wise vmapped scatter).  O(N), no sort,
@@ -284,6 +292,37 @@ def query_ball_point(
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
+    if impl == "topk2c" and (N < 256 or N % 128):
+        impl = "topk"  # hierarchy has nothing to split
+    if impl == "topk2c":
+        # chunked-native distances: contraction over the 3 coords with
+        # free dims (S) x (chunk, lane) — the dot emits (B, S, C, 128)
+        # without ever materializing a (B, S, N) operand, so the local
+        # top-k runs on the producer's own layout (lane-aligned chunks).
+        ch = 128
+        C = N // ch
+        k = nsample
+        xyz_c = xyz.reshape(B, C, ch, 3).astype(jnp.float32)
+        q = new_xyz.astype(jnp.float32)
+        d = -2.0 * jnp.einsum(
+            "bsd,bcmd->bscm", q, xyz_c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d = d + jnp.sum(q**2, -1)[:, :, None, None]
+        d = d + jnp.sum(xyz_c**2, -1)[:, None, :, :]
+        # candidate values ARE global indices (unique), N when out of radius
+        gidx = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, S, C, ch), 3)
+            + jax.lax.broadcasted_iota(jnp.int32, (B, S, C, ch), 2) * ch
+        )
+        cand = jnp.where(d > radius**2, N, gidx)
+        neg_local, _ = jax.lax.top_k(-cand, k)  # (B, S, C, k) k smallest
+        neg_topk, _ = jax.lax.top_k(neg_local.reshape(B, S, C * k), k)
+        group_idx = jnp.sort(-neg_topk, axis=-1)
+        group_first = group_idx[:, :, :1]
+        group_idx = jnp.where(group_idx == N, group_first, group_idx)
+        return jnp.clip(group_idx, 0, N - 1)
     sqrdists = square_distance(new_xyz, xyz)  # (B, S, N)
     if impl == "topk_p":
         # partitioned top_k: the fast single-chip path, minus the SPMD

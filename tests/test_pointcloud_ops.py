@@ -430,6 +430,14 @@ def test_smallest_k2_matches_top_k(rng):
     b = query_ball_point(0.5, 16, xyz, xyz[:, :40], impl="topk2")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # topk2c: chunked-native distance layout; exact index equality both at
+    # a chunk-divisible width (512 = 4 x 128) and via the fallback (260)
+    for npts, sq in [(512, 48), (260, 40)]:
+        xyz = jnp.asarray(rng.randn(3, npts, 3), jnp.float32)
+        a = query_ball_point(0.35, 16, xyz, xyz[:, :sq], impl="topk")
+        c = query_ball_point(0.35, 16, xyz, xyz[:, :sq], impl="topk2c")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
     x = jnp.asarray(rng.randn(2, 200, 8), jnp.float32)
     np.testing.assert_array_equal(
         np.asarray(knn(x, 7, impl="topk")), np.asarray(knn(x, 7, impl="topk2")))
