@@ -53,6 +53,10 @@ def main():
                     help="grouping-gather formulation; matmul_fwd runs the "
                          "forward gathers as one-hot MXU contractions "
                          "(bf16-grade numerics; PERF.md round 3)")
+    ap.add_argument("--noise_table", action="store_true",
+                    help="pre-generate per-step noise outside the scan "
+                         "(same fold_in keys; hoists threefry out of the "
+                         "body)")
     ap.add_argument("--no_baseline", action="store_true",
                     help="skip the host-loop baseline (vs_baseline=0); "
                          "useful for batched-throughput rows where only "
@@ -126,7 +130,8 @@ def main():
     def sample(key):
         s, _ = sample_sdm(model, variables, schedule, mask, objs, cats, text,
                           key, clip_denoised=False,
-                          cond_chunk=args.cond_chunk, unroll=args.unroll)
+                          cond_chunk=args.cond_chunk, unroll=args.unroll,
+                          noise_table=args.noise_table)
         return jnp.sum(s)
 
     float(sample(jax.random.PRNGKey(1)))  # compile + execute

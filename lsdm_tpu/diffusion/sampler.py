@@ -44,12 +44,17 @@ def p_sample_step(
     clip_denoised: bool = True,
     const_noise: bool = False,
     cond_fn=None,
+    noise: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, DenoiserOutput]:
     """One ancestral DDPM step (reference ``p_sample``,
     ``gaussian_diffusion.py:501-561``). Returns (sample, pred_xstart, out).
 
     ``cond_fn(x, t) -> grad`` enables classifier guidance (reference
     ``condition_mean`` hook, ``gaussian_diffusion.py:553-556``).
+
+    ``noise`` overrides the per-step gaussian draw (the loops' noise-table
+    mode pre-generates all T draws outside the scan); when given, ``key``
+    is unused.
     """
     mean, variance, log_variance, pred_xstart, model_out = p_mean_variance(
         schedule, model_fn, x, t, clip_denoised=clip_denoised
@@ -58,7 +63,8 @@ def p_sample_step(
         from lsdm_tpu.diffusion.gaussian import condition_mean
 
         mean = condition_mean(cond_fn, mean, variance, x, t)
-    noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, x.shape, dtype=x.dtype)
     if const_noise:
         noise = jnp.broadcast_to(noise[:1], noise.shape)
     sample = mean + _nonzero_mask(t, x.ndim) * jnp.exp(0.5 * log_variance) * noise
@@ -83,6 +89,7 @@ def p_sample_loop(
     skip_timesteps: int = 0,
     init_image: Optional[jax.Array] = None,
     unroll: int = 1,
+    noise_table: bool = False,
 ) -> Tuple[jax.Array, DenoiserOutput]:
     """Full DDPM sampling as one ``lax.scan``
     (replaces reference ``p_sample_loop(_progressive)``,
@@ -92,6 +99,13 @@ def p_sample_loop(
     category prediction and guiding points that the reference reads off
     ``model.saved_cat`` / ``model.saved_guiding_points``
     (``run/test_sdm.py:200-202``).
+
+    ``noise_table=True`` pre-generates all per-step gaussian draws outside
+    the scan (one vmapped threefry over the SAME ``fold_in`` keys the
+    in-loop path uses — bit-identical draws; end samples agree to XLA
+    FMA-fusion tolerance ~1e-8) and feeds them through the scan's xs,
+    removing the RNG ops from the per-iteration body.  Costs a
+    transient (T, *shape) fp32 table (12 MB at the flagship config).
     """
     T = schedule.num_timesteps
     key, init_key = jax.random.split(key)
@@ -104,13 +118,24 @@ def p_sample_loop(
         my_t = jnp.full((shape[0],), start_t - 1, jnp.int32)
         img = q_sample(schedule, init_image, my_t, img)
 
-    def body(carry, i):
+    steps = jnp.arange(start_t)
+    if noise_table:
+        noise_xs = jax.vmap(
+            lambda i: jax.random.normal(jax.random.fold_in(key, i), shape,
+                                        jnp.float32))(steps)
+        xs = (steps, noise_xs)
+    else:
+        xs = (steps, None)
+
+    def body(carry, step_xs):
+        i, step_noise = step_xs
         x, k, _ = carry
         t = jnp.full((shape[0],), start_t - 1 - i, jnp.int32)
-        step_key = jax.random.fold_in(k, i)
+        step_key = None if noise_table else jax.random.fold_in(k, i)
         sample, pred_xstart, model_out = p_sample_step(
             schedule, model_fn, x, t, step_key,
             clip_denoised=clip_denoised, const_noise=const_noise,
+            noise=step_noise,
         )
         return (sample, k, model_out), None
 
@@ -119,8 +144,7 @@ def p_sample_loop(
     # memory (OOMs at batch 32 on one chip).
     out0 = _abstract_zeros(model_fn, img,
                            jnp.full((shape[0],), start_t - 1, jnp.int32))
-    (final, _, last_out), _ = jax.lax.scan(body, (img, key, out0),
-                                           jnp.arange(start_t),
+    (final, _, last_out), _ = jax.lax.scan(body, (img, key, out0), xs,
                                            unroll=unroll)
     return final, last_out
 
@@ -133,6 +157,7 @@ def ddim_sample_step(
     key: jax.Array,
     clip_denoised: bool = True,
     eta: float = 0.0,
+    noise: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, DenoiserOutput]:
     """One DDIM step (reference ``ddim_sample``,
     ``gaussian_diffusion.py:761-811``)."""
@@ -148,7 +173,8 @@ def ddim_sample_step(
         * jnp.sqrt((1 - alpha_bar_prev) / (1 - alpha_bar))
         * jnp.sqrt(1 - alpha_bar / alpha_bar_prev)
     )
-    noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, x.shape, dtype=x.dtype)
     mean_pred = (
         pred_xstart * jnp.sqrt(alpha_bar_prev)
         + jnp.sqrt(1 - alpha_bar_prev - sigma**2) * eps
@@ -166,25 +192,40 @@ def ddim_sample_loop(
     clip_denoised: bool = True,
     eta: float = 0.0,
     unroll: int = 1,
+    noise_table: bool = False,
 ) -> Tuple[jax.Array, DenoiserOutput]:
     """DDIM sampling as one scan (reference ``ddim_sample_loop``,
-    ``gaussian_diffusion.py:908-1022``)."""
+    ``gaussian_diffusion.py:908-1022``).
+
+    ``noise_table`` as in :func:`p_sample_loop` (bit-identical draws,
+    RNG hoisted out of the per-iteration body)."""
     T = schedule.num_timesteps
     key, init_key = jax.random.split(key)
     img = jax.random.normal(init_key, shape, jnp.float32) if noise is None else noise
 
-    def body(carry, i):
+    steps = jnp.arange(T)
+    if noise_table:
+        noise_xs = jax.vmap(
+            lambda i: jax.random.normal(jax.random.fold_in(key, i), shape,
+                                        jnp.float32))(steps)
+        xs = (steps, noise_xs)
+    else:
+        xs = (steps, None)
+
+    def body(carry, step_xs):
+        i, step_noise = step_xs
         x, k, _ = carry
         t = jnp.full((shape[0],), T - 1 - i, jnp.int32)
-        step_key = jax.random.fold_in(k, i)
+        step_key = None if noise_table else jax.random.fold_in(k, i)
         sample, pred_xstart, model_out = ddim_sample_step(
-            schedule, model_fn, x, t, step_key, clip_denoised=clip_denoised, eta=eta
+            schedule, model_fn, x, t, step_key, clip_denoised=clip_denoised,
+            eta=eta, noise=step_noise,
         )
         return (sample, k, model_out), None
 
     out0 = _abstract_zeros(model_fn, img, jnp.full((shape[0],), T - 1, jnp.int32))
-    (final, _, last_out), _ = jax.lax.scan(body, (img, key, out0),
-                                           jnp.arange(T), unroll=unroll)
+    (final, _, last_out), _ = jax.lax.scan(body, (img, key, out0), xs,
+                                           unroll=unroll)
     return final, last_out
 
 

@@ -34,6 +34,7 @@ def sample_sdm(
     cond_chunk: Optional[int] = None,
     precompute_emb: Optional[bool] = None,
     unroll: int = 1,
+    noise_table: bool = False,
 ):
     """Returns (sample (B, N, 3), last DenoiserOutput).  Jit-safe.
 
@@ -107,7 +108,8 @@ def sample_sdm(
             return DenoiserOutput(x0=x0, cat=cond.out_cat, guiding=guiding)
 
         return loop(schedule, model_fn, (B, N, 3), key,
-                    clip_denoised=clip_denoised, unroll=unroll)
+                    clip_denoised=clip_denoised, unroll=unroll,
+                    noise_table=noise_table)
 
     def model_fn(x_t, tt):
         t_model = timestep_map[tt] if timestep_map is not None else tt
@@ -115,4 +117,5 @@ def sample_sdm(
                            method=model.denoise_from_cond)
 
     return loop(schedule, model_fn, (B, N, 3), key,
-                clip_denoised=clip_denoised, unroll=unroll)
+                clip_denoised=clip_denoised, unroll=unroll,
+                noise_table=noise_table)

@@ -157,3 +157,36 @@ def test_training_losses_jits():
 
     terms = f(x0, t, noise, target_cat)
     assert np.isfinite(float(terms["loss"]))
+
+
+def test_noise_table_matches_inloop_rng():
+    """noise_table=True pre-generates the per-step draws with the SAME
+    fold_in keys the in-loop path uses.  The draws are bit-identical
+    (asserted directly); the end-to-end samples agree to float-fusion
+    tolerance only, because XLA is free to FMA-contract the step
+    arithmetic differently in the two programs (~1e-8 — the same level at
+    which a host-stepped loop differs from the scan)."""
+    def xdep_model(x_t, t):
+        return DenoiserOutput(
+            x0=0.5 * x_t, cat=jax.nn.softmax(jnp.zeros((x_t.shape[0], 1, 13)))
+        )
+
+    k = jax.random.PRNGKey(11)
+    # the table rows ARE the in-loop draws
+    key, _ = jax.random.split(k)
+    tab = jax.vmap(lambda i: jax.random.normal(
+        jax.random.fold_in(key, i), SHAPE, jnp.float32))(jnp.arange(5))
+    for i in range(5):
+        np.testing.assert_array_equal(
+            np.asarray(tab[i]),
+            np.asarray(jax.random.normal(jax.random.fold_in(key, i), SHAPE,
+                                         jnp.float32)))
+
+    s1, _ = p_sample_loop(SCHED, xdep_model, SHAPE, k)
+    s2, _ = p_sample_loop(SCHED, xdep_model, SHAPE, k, noise_table=True)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+    d1, _ = ddim_sample_loop(SCHED, xdep_model, SHAPE, k, eta=0.7)
+    d2, _ = ddim_sample_loop(SCHED, xdep_model, SHAPE, k, eta=0.7,
+                             noise_table=True)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
