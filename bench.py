@@ -57,6 +57,9 @@ def main():
                     help="pre-generate per-step noise outside the scan "
                          "(same fold_in keys; hoists threefry out of the "
                          "body)")
+    ap.add_argument("--fused_step", action="store_true",
+                    help="run the whole per-step tail as ONE Pallas kernel "
+                         "(ops/denoise_pallas.py; DDPM only)")
     ap.add_argument("--no_baseline", action="store_true",
                     help="skip the host-loop baseline (vs_baseline=0); "
                          "useful for batched-throughput rows where only "
@@ -131,7 +134,8 @@ def main():
         s, _ = sample_sdm(model, variables, schedule, mask, objs, cats, text,
                           key, clip_denoised=False,
                           cond_chunk=args.cond_chunk, unroll=args.unroll,
-                          noise_table=args.noise_table)
+                          noise_table=args.noise_table,
+                          fused_step=args.fused_step)
         return jnp.sum(s)
 
     float(sample(jax.random.PRNGKey(1)))  # compile + execute

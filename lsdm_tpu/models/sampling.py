@@ -35,6 +35,8 @@ def sample_sdm(
     precompute_emb: Optional[bool] = None,
     unroll: int = 1,
     noise_table: bool = False,
+    fused_step: bool = False,
+    fused_interpret: bool = False,
 ):
     """Returns (sample (B, N, 3), last DenoiserOutput).  Jit-safe.
 
@@ -76,6 +78,15 @@ def sample_sdm(
                 else jnp.arange(T, dtype=jnp.int32))
     if precompute_emb is None:
         precompute_emb = False
+
+    if fused_step:
+        if use_ddim:
+            raise ValueError("fused_step supports the DDPM ancestral loop "
+                             "only (use_ddim=False)")
+        return _sample_fused(
+            model, variables, schedule, cond, B, N, key,
+            clip_denoised=clip_denoised, ts_model=ts_model, unroll=unroll,
+            interpret=fused_interpret)
 
     loop = ddim_sample_loop if use_ddim else p_sample_loop
 
@@ -119,3 +130,65 @@ def sample_sdm(
     return loop(schedule, model_fn, (B, N, 3), key,
                 clip_denoised=clip_denoised, unroll=unroll,
                 noise_table=noise_table)
+
+
+def _sample_fused(model, variables, schedule, cond, B, N, key,
+                  clip_denoised, ts_model, unroll, interpret=False):
+    """DDPM sampling with the whole per-step tail as ONE Pallas kernel
+    (``ops/denoise_pallas.py``) — the opt-in fast path for the latency-
+    bound batch-1 scan body (PERF.md round 3).
+
+    Same draws as :func:`~lsdm_tpu.diffusion.sampler.p_sample_loop` (key
+    split + per-step ``fold_in`` mirrored exactly); outputs agree to
+    kernel-fusion float tolerance, not bitwise.  The (cat, guiding, x0)
+    DenoiserOutput is recomputed once post-loop at the final step's input
+    through the standard composed path.
+    """
+    from lsdm_tpu.diffusion.gaussian import DenoiserOutput  # noqa: F401
+    from lsdm_tpu.ops.denoise_pallas import (
+        extract_step_params, fused_denoise_step)
+
+    if not interpret and jax.default_backend() == "cpu":
+        interpret = True  # compiled Pallas needs a TPU; CPU == interpreter
+
+    p = extract_step_params(variables["params"])
+    T = schedule.num_timesteps
+    key, init_key = jax.random.split(key)
+    img = jax.random.normal(init_key, (B, N, 3), jnp.float32)
+
+    steps = jnp.arange(T)
+    t_seq = T - 1 - steps  # spaced-schedule index per loop iteration
+    coef_tab = jnp.stack(
+        [
+            schedule.posterior_mean_coef1[t_seq],
+            schedule.posterior_mean_coef2[t_seq],
+            jnp.exp(0.5 * schedule.posterior_log_variance_clipped[t_seq])
+            * (t_seq != 0),
+        ],
+        axis=-1,
+    ).astype(jnp.float32)  # (T, 3)
+    # model-timestep embedding rows for each loop iteration (handles
+    # respacing via ts_model = timestep_map)
+    tm_seq = ts_model[t_seq]
+    e2_tab = jax.vmap(
+        lambda tt: model.apply(variables, cond, jnp.full((B,), tt),
+                               method=model.step_emb2))(tm_seq)  # (T, B, 2D)
+    noise_tab = jax.vmap(
+        lambda i: jax.random.normal(jax.random.fold_in(key, i), (B, N, 3),
+                                    jnp.float32))(steps)
+
+    def body(carry, xs):
+        x, _ = carry
+        e2, nz, cf = xs
+        new = fused_denoise_step(x, nz, cond.cond_pcd, e2, cf, p,
+                                 clip_denoised=clip_denoised,
+                                 interpret=interpret)
+        return (new, x), None
+
+    (final, last_in), _ = jax.lax.scan(
+        body, (img, img), (e2_tab, noise_tab, coef_tab), unroll=unroll)
+
+    last_out = model.apply(
+        variables, cond, last_in, jnp.full((B,), tm_seq[-1]),
+        method=model.denoise_from_cond)
+    return final, last_out

@@ -222,6 +222,14 @@ class SceneDiffusionModel(nn.Module):
         emb = jnp.transpose(emb, (0, 2, 1))  # (B, N, 2D)
         return self.combine_extraction(emb)  # (B, N, D)
 
+    def step_emb2(self, cond: CondCache, timesteps: jax.Array) -> jax.Array:
+        """The (B, 2D) concat of timestep + text embeddings — the input of
+        the upsampling MLP (reference :164-165 before the permute).  The
+        fused-step sampler precomputes this per step outside the scan
+        (ops/denoise_pallas.py); everything after it runs in-kernel."""
+        emb_ts = self.embed_timestep(timesteps)  # (B, 1, D)
+        return jnp.concatenate([emb_ts, cond.enc_text], axis=-1)[:, 0]
+
     def denoise_with_emb(self, cond: CondCache, emb: jax.Array, x: jax.Array
                          ) -> jax.Array:
         """x_t-dependent core (reference :204-212): the only work that truly

@@ -71,3 +71,51 @@ def test_training_losses_chamfer_impl_equivalence(rng):
 
     np.testing.assert_allclose(np.asarray(g_xla), np.asarray(g_pl),
                                atol=1e-5)
+
+
+import pytest
+
+
+@pytest.mark.slow  # ~100 s: two 8-step interpret-mode sampling loops
+def test_fused_denoise_step_matches_sample_sdm():
+    """The fused-kernel sampling path (ops/denoise_pallas.py, interpret
+    mode) reproduces sample_sdm: same draws (mirrored key protocol), same
+    trajectory to float-fusion tolerance, and the post-loop DenoiserOutput
+    agrees with the in-loop one."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsdm_tpu.config import SDMConfig
+    from lsdm_tpu.diffusion import make_schedule
+    from lsdm_tpu.models.sampling import sample_sdm
+    from lsdm_tpu.models.sdm import SceneDiffusionModel
+
+    cfg = SDMConfig(clip_dim=32, latent_dim=16, cat_emb=8, n_head=4,
+                    vert_dims=24, pcd_points=32, max_cats=13)
+    B, O, N = 2, 9, cfg.pcd_points
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (B, N, 3))
+    mask = jnp.zeros((B, O)).at[:, 1:4].set(1.0)
+    objs = jax.random.normal(ks[1], (B, O, N, 3))
+    cats = jax.nn.one_hot(jax.random.randint(ks[2], (B, O), 0, 13), 13)
+    text = jax.random.normal(ks[3], (B, cfg.clip_dim))
+    model = SceneDiffusionModel(cfg)
+    variables = model.init(jax.random.PRNGKey(1), x, mask,
+                           jnp.zeros((B,), jnp.int32), objs, cats, text)
+    schedule = make_schedule("cosine", 8)
+
+    key = jax.random.PRNGKey(42)
+    for clip in (False, True):
+        s_ref, out_ref = sample_sdm(model, variables, schedule, mask, objs,
+                                    cats, text, key, clip_denoised=clip)
+        s_fus, out_fus = sample_sdm(model, variables, schedule, mask, objs,
+                                    cats, text, key, clip_denoised=clip,
+                                    fused_step=True, fused_interpret=True)
+        np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_fus),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_ref.x0),
+                                   np.asarray(out_fus.x0), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_ref.guiding),
+                                   np.asarray(out_fus.guiding), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_ref.cat),
+                                   np.asarray(out_fus.cat), atol=2e-5)
