@@ -80,13 +80,10 @@ def sample_sdm(
         precompute_emb = False
 
     if fused_step:
-        if use_ddim:
-            raise ValueError("fused_step supports the DDPM ancestral loop "
-                             "only (use_ddim=False)")
         return _sample_fused(
             model, variables, schedule, cond, B, N, key,
             clip_denoised=clip_denoised, ts_model=ts_model, unroll=unroll,
-            interpret=fused_interpret)
+            use_ddim=use_ddim, interpret=fused_interpret)
 
     loop = ddim_sample_loop if use_ddim else p_sample_loop
 
@@ -133,16 +130,26 @@ def sample_sdm(
 
 
 def _sample_fused(model, variables, schedule, cond, B, N, key,
-                  clip_denoised, ts_model, unroll, interpret=False):
-    """DDPM sampling with the whole per-step tail as ONE Pallas kernel
+                  clip_denoised, ts_model, unroll, use_ddim=False,
+                  eta: float = 0.0, interpret=False):
+    """Sampling with the whole per-step tail as ONE Pallas kernel
     (``ops/denoise_pallas.py``) — the opt-in fast path for the latency-
     bound batch-1 scan body (PERF.md round 3).
 
-    Same draws as :func:`~lsdm_tpu.diffusion.sampler.p_sample_loop` (key
-    split + per-step ``fold_in`` mirrored exactly); outputs agree to
-    kernel-fusion float tolerance, not bitwise.  The (cat, guiding, x0)
-    DenoiserOutput is recomputed once post-loop at the final step's input
-    through the standard composed path.
+    Both the DDPM ancestral step and the DDIM step are affine in
+    (x0, x_t, noise) with per-step scalar coefficients, so ONE kernel
+    serves both loops; only the (T, 3) coefficient table differs:
+
+      DDPM: c1 = posterior_mean_coef1, c2 = posterior_mean_coef2,
+            c3 = (t != 0) * exp(0.5 * posterior_log_variance)
+      DDIM: with q = sqrt(1 - abar_prev - sigma^2),
+            c1 = sqrt(abar_prev) - q / rm1,  c2 = q * r / rm1,
+            c3 = (t != 0) * sigma          (r, rm1: the eps-from-x0 coefs)
+
+    Same draws as the scanned loops (key split + per-step ``fold_in``
+    mirrored exactly); outputs agree to kernel-fusion float tolerance, not
+    bitwise.  The (cat, guiding, x0) DenoiserOutput is recomputed once
+    post-loop at the final step's input through the standard composed path.
     """
     from lsdm_tpu.diffusion.gaussian import DenoiserOutput  # noqa: F401
     from lsdm_tpu.ops.denoise_pallas import (
@@ -158,15 +165,28 @@ def _sample_fused(model, variables, schedule, cond, B, N, key,
 
     steps = jnp.arange(T)
     t_seq = T - 1 - steps  # spaced-schedule index per loop iteration
-    coef_tab = jnp.stack(
-        [
-            schedule.posterior_mean_coef1[t_seq],
-            schedule.posterior_mean_coef2[t_seq],
-            jnp.exp(0.5 * schedule.posterior_log_variance_clipped[t_seq])
-            * (t_seq != 0),
-        ],
-        axis=-1,
-    ).astype(jnp.float32)  # (T, 3)
+    nzm = (t_seq != 0).astype(jnp.float32)
+    if use_ddim:
+        ab = schedule.alphas_cumprod[t_seq]
+        abp = schedule.alphas_cumprod_prev[t_seq]
+        r = schedule.sqrt_recip_alphas_cumprod[t_seq]
+        rm1 = schedule.sqrt_recipm1_alphas_cumprod[t_seq]
+        sigma = (eta * jnp.sqrt((1 - abp) / (1 - ab))
+                 * jnp.sqrt(1 - ab / abp))
+        q = jnp.sqrt(1 - abp - sigma**2)
+        coef_tab = jnp.stack(
+            [jnp.sqrt(abp) - q / rm1, q * r / rm1, nzm * sigma], axis=-1
+        ).astype(jnp.float32)  # (T, 3)
+    else:
+        coef_tab = jnp.stack(
+            [
+                schedule.posterior_mean_coef1[t_seq],
+                schedule.posterior_mean_coef2[t_seq],
+                jnp.exp(0.5 * schedule.posterior_log_variance_clipped[t_seq])
+                * nzm,
+            ],
+            axis=-1,
+        ).astype(jnp.float32)  # (T, 3)
     # model-timestep embedding rows for each loop iteration (handles
     # respacing via ts_model = timestep_map)
     tm_seq = ts_model[t_seq]

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--platform", default=None, help="force a jax platform")
     ap.add_argument("--pcd_points", type=int, default=None,
                     help="override cloud size (e.g. tiny smoke runs)")
+    ap.add_argument("--fused_step", action="store_true",
+                    help="sample with the per-step tail fused into one "
+                         "Pallas kernel (ops/denoise_pallas.py)")
     ap.add_argument("--cond_chunk", type=int, default=None,
                     help="encode conditioning in batch chunks (memory cap, "
                          "models/sampling.py)")
@@ -163,7 +166,7 @@ def main():
             mask, objs, cats, text_emb, key,
             clip_denoised=False, use_ddim=args.use_ddim,
             timestep_map=schedule.timestep_map if args.timestep_respacing else None,
-            cond_chunk=args.cond_chunk,
+            cond_chunk=args.cond_chunk, fused_step=args.fused_step,
         )
         return sample, last.cat, last.guiding
 

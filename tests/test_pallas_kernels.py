@@ -105,12 +105,13 @@ def test_fused_denoise_step_matches_sample_sdm():
     schedule = make_schedule("cosine", 8)
 
     key = jax.random.PRNGKey(42)
-    for clip in (False, True):
+
+    def compare(**kw):
         s_ref, out_ref = sample_sdm(model, variables, schedule, mask, objs,
-                                    cats, text, key, clip_denoised=clip)
+                                    cats, text, key, **kw)
         s_fus, out_fus = sample_sdm(model, variables, schedule, mask, objs,
-                                    cats, text, key, clip_denoised=clip,
-                                    fused_step=True, fused_interpret=True)
+                                    cats, text, key, fused_step=True,
+                                    fused_interpret=True, **kw)
         np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_fus),
                                    atol=2e-5, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(out_ref.x0),
@@ -119,3 +120,20 @@ def test_fused_denoise_step_matches_sample_sdm():
                                    np.asarray(out_fus.guiding), atol=2e-5)
         np.testing.assert_allclose(np.asarray(out_ref.cat),
                                    np.asarray(out_fus.cat), atol=2e-5)
+
+    compare(clip_denoised=False)
+    compare(clip_denoised=True)
+    compare(clip_denoised=False, use_ddim=True)  # same kernel, DDIM coefs
+
+    # respaced: the e2 table must index MODEL timesteps via timestep_map
+    from lsdm_tpu.diffusion import spaced_schedule
+    rs = spaced_schedule("cosine", 16, "ddim4")
+    s_ref, _ = sample_sdm(model, variables, rs, mask, objs, cats,
+                          text, key, clip_denoised=False,
+                          timestep_map=rs.timestep_map)
+    s_fus, _ = sample_sdm(model, variables, rs, mask, objs, cats,
+                          text, key, clip_denoised=False,
+                          timestep_map=rs.timestep_map,
+                          fused_step=True, fused_interpret=True)
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_fus),
+                               atol=2e-5, rtol=1e-5)
