@@ -197,12 +197,17 @@ def _sample_fused(model, variables, schedule, cond, B, N, key,
         lambda i: jax.random.normal(jax.random.fold_in(key, i), (B, N, 3),
                                     jnp.float32))(steps)
 
+    # mirror the composed tail's compute dtype (SDMConfig.dtype): bf16
+    # halves the kernel's MXU pass count at the usual bf16-grade numerics
+    compute_dtype = jnp.dtype(model.cfg.dtype)
+
     def body(carry, xs):
         x, _ = carry
         e2, nz, cf = xs
         new = fused_denoise_step(x, nz, cond.cond_pcd, e2, cf, p,
                                  clip_denoised=clip_denoised,
-                                 interpret=interpret)
+                                 interpret=interpret,
+                                 compute_dtype=compute_dtype)
         return (new, x), None
 
     (final, last_in), _ = jax.lax.scan(

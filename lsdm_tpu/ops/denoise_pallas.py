@@ -112,11 +112,15 @@ def _kernel(coef_ref, x_ref, noise_ref, cpcd_ref, e2_ref,
             w_up0, b_up0, w_up2, b_up2, w_up4, b_up4, wc_t, bc,
             wp0_t, bp0, wp2_t, bp2, wx0_t, bx0, wx2_t, bx2,
             wo0_t, bo0, wo2_t, bo2,
-            out_ref, *, clip_denoised: bool):
+            out_ref, *, clip_denoised: bool, compute_dtype):
     f32 = jnp.float32
 
     def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=f32)
+        # compute_dtype=bf16 halves the MXU pass count (mirrors the
+        # composed tail under SDMConfig.dtype=bfloat16); accumulation
+        # stays f32 either way
+        return jnp.dot(a.astype(compute_dtype), b.astype(compute_dtype),
+                       preferred_element_type=f32)
 
     # ---- t-dependent embedding tail (transposed orientation) ----------
     e2 = e2_ref[:]                              # (1, 2D)
@@ -146,7 +150,8 @@ def _kernel(coef_ref, x_ref, noise_ref, cpcd_ref, e2_ref,
     out_ref[0] = coef1 * x0 + coef2 * x_t + stdnz * noise_ref[0]
 
 
-@partial(jax.jit, static_argnames=("clip_denoised", "interpret"))
+@partial(jax.jit,
+         static_argnames=("clip_denoised", "interpret", "compute_dtype"))
 def fused_denoise_step(
     x: jax.Array,        # (B, N, 3) current sample
     noise: jax.Array,    # (B, N, 3) this step's gaussian draw
@@ -156,6 +161,7 @@ def fused_denoise_step(
     p: DenoiseStepParams,
     clip_denoised: bool = False,
     interpret: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """One DDPM ancestral step for every scene in the batch, one fused
     kernel launch per scene (grid over B)."""
@@ -174,7 +180,8 @@ def fused_denoise_step(
     ] + [wspec(w) for w in p]
 
     out = pl.pallas_call(
-        partial(_kernel, clip_denoised=clip_denoised),
+        partial(_kernel, clip_denoised=clip_denoised,
+                compute_dtype=jnp.dtype(compute_dtype)),
         out_shape=jax.ShapeDtypeStruct((B, N, 3), jnp.float32),
         grid=(B,),
         in_specs=in_specs,

@@ -137,3 +137,39 @@ def test_fused_denoise_step_matches_sample_sdm():
                           fused_step=True, fused_interpret=True)
     np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_fus),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_fused_denoise_step_bf16_matches_composed_bf16():
+    """With SDMConfig.dtype=bfloat16 the fused kernel runs its dots in
+    bf16 (f32 accum) — bf16-grade agreement with the composed bf16 tail."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsdm_tpu.config import SDMConfig
+    from lsdm_tpu.diffusion import make_schedule
+    from lsdm_tpu.models.sampling import sample_sdm
+    from lsdm_tpu.models.sdm import SceneDiffusionModel
+
+    cfg = SDMConfig(clip_dim=32, latent_dim=16, cat_emb=8, n_head=4,
+                    vert_dims=24, pcd_points=32, max_cats=13,
+                    dtype="bfloat16")
+    B, O, N = 2, 9, cfg.pcd_points
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(ks[0], (B, N, 3))
+    mask = jnp.zeros((B, O)).at[:, 1:4].set(1.0)
+    objs = jax.random.normal(ks[1], (B, O, N, 3))
+    cats = jax.nn.one_hot(jax.random.randint(ks[2], (B, O), 0, 13), 13)
+    text = jax.random.normal(ks[3], (B, cfg.clip_dim))
+    model = SceneDiffusionModel(cfg)
+    variables = model.init(jax.random.PRNGKey(1), x, mask,
+                           jnp.zeros((B,), jnp.int32), objs, cats, text)
+    schedule = make_schedule("cosine", 8)
+    key = jax.random.PRNGKey(42)
+    s_ref, _ = sample_sdm(model, variables, schedule, mask, objs, cats,
+                          text, key, clip_denoised=False)
+    s_fus, _ = sample_sdm(model, variables, schedule, mask, objs, cats,
+                          text, key, clip_denoised=False,
+                          fused_step=True, fused_interpret=True)
+    np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_fus),
+                               atol=5e-2)
