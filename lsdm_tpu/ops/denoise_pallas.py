@@ -41,9 +41,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (max abs error 1.5e-7).
+
+    Mosaic has no lowering for the erf/erfc primitive (checked via
+    ``jax.export`` for the tpu platform), so the exact-GELU parity path
+    uses this approximation in-kernel; its error is two orders below the
+    fused path's 2e-5 equivalence tolerance."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu(x):
-    # torch nn.GELU() parity: the exact erf formulation (models/common.py)
-    return jax.nn.gelu(x, approximate=False)
+    # torch nn.GELU() parity: the exact erf formulation (models/common.py),
+    # with erf itself approximated (see _erf)
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
 def _sigmoid(x):
@@ -123,7 +141,7 @@ def _kernel(coef_ref, x_ref, noise_ref, cpcd_ref, e2_ref,
                        preferred_element_type=f32)
 
     # ---- t-dependent embedding tail (transposed orientation) ----------
-    e2 = e2_ref[:]                              # (1, 2D)
+    e2 = e2_ref[0]                              # (1, 2D)
     # upsampling layer 0 has in_features=1: W (128, 1) -> outer product
     u0 = _gelu(w_up0[:] * e2 + b_up0[:])        # (128, 2D)
     u2 = _gelu(dot(w_up2[:], u0) + b_up2[:])    # (512, 2D)
@@ -172,7 +190,10 @@ def fused_denoise_step(
         return pl.BlockSpec(arr.shape, lambda b: (0,) * arr.ndim)
 
     scene = pl.BlockSpec((1, N, 3), lambda b: (b, 0, 0))
-    row = pl.BlockSpec((1, D2), lambda b: (b, 0))
+    # (B, 1, 2D) with a (1, 1, 2D) block: Mosaic requires the last two
+    # block dims to divide (8, 128) or equal the array dims; a (1, 2D)
+    # block of a (B, 2D) array violates that for B > 1
+    row = pl.BlockSpec((1, 1, D2), lambda b: (b, 0, 0))
 
     in_specs = [
         pl.BlockSpec((1, 3), lambda b: (0, 0), memory_space=pltpu.SMEM),
@@ -189,6 +210,7 @@ def fused_denoise_step(
         interpret=interpret,
     )(coefs.reshape(1, 3).astype(jnp.float32),
       x.astype(jnp.float32), noise.astype(jnp.float32),
-      cond_pcd.astype(jnp.float32), e2.astype(jnp.float32),
+      cond_pcd.astype(jnp.float32),
+      e2.astype(jnp.float32).reshape(B, 1, D2),
       *[w.astype(jnp.float32) for w in p])
     return out
