@@ -57,9 +57,11 @@ def main():
                     help="pre-generate per-step noise outside the scan "
                          "(same fold_in keys; hoists threefry out of the "
                          "body)")
-    ap.add_argument("--fused_step", action="store_true",
-                    help="run the whole per-step tail as ONE Pallas kernel "
-                         "(ops/denoise_pallas.py; DDPM only)")
+    ap.add_argument("--fused_step", nargs="?", const="step", default=None,
+                    choices=["step", "chain"],
+                    help="Pallas-fused sampling: 'step' = per-step tail as "
+                         "one kernel; 'chain' = the WHOLE T-step loop as "
+                         "one kernel launch (ops/denoise_pallas.py)")
     ap.add_argument("--scan_scenes", type=int, default=None,
                     help="sample K scenes sequentially inside ONE compiled "
                          "program (lax.scan over keys) — sustained device "

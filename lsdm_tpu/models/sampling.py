@@ -80,10 +80,11 @@ def sample_sdm(
         precompute_emb = False
 
     if fused_step:
+        mode = fused_step if isinstance(fused_step, str) else "step"
         return _sample_fused(
             model, variables, schedule, cond, B, N, key,
             clip_denoised=clip_denoised, ts_model=ts_model, unroll=unroll,
-            use_ddim=use_ddim, interpret=fused_interpret)
+            use_ddim=use_ddim, mode=mode, interpret=fused_interpret)
 
     loop = ddim_sample_loop if use_ddim else p_sample_loop
 
@@ -131,7 +132,7 @@ def sample_sdm(
 
 def _sample_fused(model, variables, schedule, cond, B, N, key,
                   clip_denoised, ts_model, unroll, use_ddim=False,
-                  eta: float = 0.0, interpret=False):
+                  eta: float = 0.0, mode: str = "step", interpret=False):
     """Sampling with the whole per-step tail as ONE Pallas kernel
     (``ops/denoise_pallas.py``) — the opt-in fast path for the latency-
     bound batch-1 scan body (PERF.md round 3).
@@ -153,7 +154,7 @@ def _sample_fused(model, variables, schedule, cond, B, N, key,
     """
     from lsdm_tpu.diffusion.gaussian import DenoiserOutput  # noqa: F401
     from lsdm_tpu.ops.denoise_pallas import (
-        extract_step_params, fused_denoise_step)
+        extract_step_params, fused_denoise_chain, fused_denoise_step)
 
     if not interpret and jax.default_backend() == "cpu":
         interpret = True  # compiled Pallas needs a TPU; CPU == interpreter
@@ -201,17 +202,26 @@ def _sample_fused(model, variables, schedule, cond, B, N, key,
     # halves the kernel's MXU pass count at the usual bf16-grade numerics
     compute_dtype = jnp.dtype(model.cfg.dtype)
 
-    def body(carry, xs):
-        x, _ = carry
-        e2, nz, cf = xs
-        new = fused_denoise_step(x, nz, cond.cond_pcd, e2, cf, p,
-                                 clip_denoised=clip_denoised,
-                                 interpret=interpret,
-                                 compute_dtype=compute_dtype)
-        return (new, x), None
+    if mode == "chain":
+        # the WHOLE loop as one kernel launch (grid=(B, T), carried sample
+        # resident in VMEM) — no per-step scan bookkeeping at all
+        final, last_in = fused_denoise_chain(
+            img, jnp.swapaxes(noise_tab, 0, 1), cond.cond_pcd,
+            jnp.swapaxes(e2_tab, 0, 1), coef_tab, p,
+            clip_denoised=clip_denoised, interpret=interpret,
+            compute_dtype=compute_dtype)
+    else:
+        def body(carry, xs):
+            x, _ = carry
+            e2, nz, cf = xs
+            new = fused_denoise_step(x, nz, cond.cond_pcd, e2, cf, p,
+                                     clip_denoised=clip_denoised,
+                                     interpret=interpret,
+                                     compute_dtype=compute_dtype)
+            return (new, x), None
 
-    (final, last_in), _ = jax.lax.scan(
-        body, (img, img), (e2_tab, noise_tab, coef_tab), unroll=unroll)
+        (final, last_in), _ = jax.lax.scan(
+            body, (img, img), (e2_tab, noise_tab, coef_tab), unroll=unroll)
 
     last_out = model.apply(
         variables, cond, last_in, jnp.full((B,), tm_seq[-1]),

@@ -214,3 +214,114 @@ def fused_denoise_step(
       e2.astype(jnp.float32).reshape(B, 1, D2),
       *[w.astype(jnp.float32) for w in p])
     return out
+
+
+def _chain_kernel(coef_ref, x0_ref, noise_ref, cpcd_ref, e2_ref,
+                  w_up0, b_up0, w_up2, b_up2, w_up4, b_up4, wc_t, bc,
+                  wp0_t, bp0, wp2_t, bp2, wx0_t, bx0, wx2_t, bx2,
+                  wo0_t, bo0, wo2_t, bo2,
+                  out_ref, last_in_ref, *, clip_denoised: bool,
+                  compute_dtype):
+    """Whole-loop kernel body: one (b, t) grid step == one DDPM/DDIM step.
+
+    The carried sample lives in ``out_ref`` — its index map is constant in
+    t, so the block stays resident in VMEM across the scene's whole t
+    sweep (initialized from the x0 input at t == 0, flushed to HBM when b
+    advances).  ``last_in_ref`` captures the FINAL step's input x (the
+    composed path recomputes the DenoiserOutput there post-kernel).
+    """
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    f32 = jnp.float32
+
+    def dot(a, b):
+        return jnp.dot(a.astype(compute_dtype), b.astype(compute_dtype),
+                       preferred_element_type=f32)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[0] = x0_ref[0]
+
+    x_t = out_ref[0]                            # (N, 3) current sample
+
+    @pl.when(t == n_t - 1)
+    def _():
+        last_in_ref[0] = x_t
+
+    e2 = e2_ref[0, 0]                           # (1, 2D)
+    u0 = _gelu(w_up0[:] * e2 + b_up0[:])        # (128, 2D)
+    u2 = _gelu(dot(w_up2[:], u0) + b_up2[:])    # (512, 2D)
+    u4 = _gelu(dot(w_up4[:], u2) + b_up4[:])    # (N, 2D)
+    emb = _gelu(dot(u4, wc_t[:]) + bc[:])       # (N, D)
+
+    x = x_t + cpcd_ref[0]
+    p = _sigmoid(dot(x, wp0_t[:]) + bp0[:])
+    p = _sigmoid(dot(p, wp2_t[:]) + bp2[:])
+    cc = jnp.concatenate([p, emb], axis=-1)
+    h = _sigmoid(dot(cc, wx0_t[:]) + bx0[:])
+    h = _sigmoid(dot(h, wx2_t[:]) + bx2[:])
+    h = _gelu(dot(h, wo0_t[:]) + bo0[:])
+    x0 = _gelu(dot(h, wo2_t[:]) + bo2[:])
+    if clip_denoised:
+        x0 = jnp.clip(x0, -1.0, 1.0)
+
+    coef1 = coef_ref[0, 0]
+    coef2 = coef_ref[0, 1]
+    stdnz = coef_ref[0, 2]
+    out_ref[0] = coef1 * x0 + coef2 * x_t + stdnz * noise_ref[0, 0]
+
+
+@partial(jax.jit,
+         static_argnames=("clip_denoised", "interpret", "compute_dtype"))
+def fused_denoise_chain(
+    x_init: jax.Array,    # (B, N, 3) initial noise image
+    noise_tab: jax.Array, # (B, T, N, 3) per-step gaussian draws
+    cond_pcd: jax.Array,  # (B, N, 3)
+    e2_tab: jax.Array,    # (B, T, 2D) per-step (timestep, text) embedding
+    coef_tab: jax.Array,  # (T, 3) per-step [c1, c2, nzm*std]
+    p: DenoiseStepParams,
+    clip_denoised: bool = False,
+    interpret: bool = False,
+    compute_dtype=jnp.float32,
+):
+    """The ENTIRE T-step sampling loop as ONE kernel launch.
+
+    Returns ``(final_sample, last_step_input)``, both (B, N, 3).  The per
+    -step version (:func:`fused_denoise_step`) still pays a kernel launch
+    + scan bookkeeping per iteration; here the loop is the Pallas grid
+    itself — per-step cost is pure compute plus a streamed 12 KB noise
+    block.  Grid order is (b outer, t inner), both dimensions declared
+    "arbitrary" (sequential) so the t recurrence is legal.
+    """
+    B, T, N, _ = noise_tab.shape
+    D2 = e2_tab.shape[-1]
+
+    def wspec(arr):
+        return pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim)
+
+    in_specs = [
+        pl.BlockSpec((1, 3), lambda b, t: (t, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0)),       # x_init
+        pl.BlockSpec((1, 1, N, 3), lambda b, t: (b, t, 0, 0)),  # noise
+        pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0)),       # cond_pcd
+        pl.BlockSpec((1, 1, 1, D2), lambda b, t: (b, t, 0, 0)),  # e2
+    ] + [wspec(w) for w in p]
+
+    scene_out = pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0))
+    final, last_in = pl.pallas_call(
+        partial(_chain_kernel, clip_denoised=clip_denoised,
+                compute_dtype=jnp.dtype(compute_dtype)),
+        out_shape=(jax.ShapeDtypeStruct((B, N, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N, 3), jnp.float32)),
+        grid=(B, T),
+        in_specs=in_specs,
+        out_specs=(scene_out, scene_out),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(coef_tab.astype(jnp.float32),
+      x_init.astype(jnp.float32), noise_tab.astype(jnp.float32),
+      cond_pcd.astype(jnp.float32),
+      e2_tab.astype(jnp.float32).reshape(B, T, 1, D2),
+      *[w.astype(jnp.float32) for w in p])
+    return final, last_in

@@ -37,9 +37,11 @@ def main():
     ap.add_argument("--platform", default=None, help="force a jax platform")
     ap.add_argument("--pcd_points", type=int, default=None,
                     help="override cloud size (e.g. tiny smoke runs)")
-    ap.add_argument("--fused_step", action="store_true",
-                    help="sample with the per-step tail fused into one "
-                         "Pallas kernel (ops/denoise_pallas.py)")
+    ap.add_argument("--fused_step", nargs="?", const="step", default=None,
+                    choices=["step", "chain"],
+                    help="sample with the denoise tail Pallas-fused: 'step' "
+                         "= one kernel per step, 'chain' = whole loop as "
+                         "one kernel (ops/denoise_pallas.py)")
     ap.add_argument("--cond_chunk", type=int, default=None,
                     help="encode conditioning in batch chunks (memory cap, "
                          "models/sampling.py)")

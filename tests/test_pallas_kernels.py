@@ -106,11 +106,11 @@ def test_fused_denoise_step_matches_sample_sdm():
 
     key = jax.random.PRNGKey(42)
 
-    def compare(**kw):
+    def compare(fused_step=True, **kw):
         s_ref, out_ref = sample_sdm(model, variables, schedule, mask, objs,
                                     cats, text, key, **kw)
         s_fus, out_fus = sample_sdm(model, variables, schedule, mask, objs,
-                                    cats, text, key, fused_step=True,
+                                    cats, text, key, fused_step=fused_step,
                                     fused_interpret=True, **kw)
         np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_fus),
                                    atol=2e-5, rtol=1e-5)
@@ -124,6 +124,7 @@ def test_fused_denoise_step_matches_sample_sdm():
     compare(clip_denoised=False)
     compare(clip_denoised=True)
     compare(clip_denoised=False, use_ddim=True)  # same kernel, DDIM coefs
+    compare(clip_denoised=False, fused_step="chain")  # whole-loop kernel
 
     # respaced: the e2 table must index MODEL timesteps via timestep_map
     from lsdm_tpu.diffusion import spaced_schedule
