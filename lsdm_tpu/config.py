@@ -75,7 +75,7 @@ class SDMConfig:
     # Ball-query formulation: "auto" derives it from the execution context
     # (TopK custom call on one chip, the partitioned top_k "topk_p" when
     # the object axis is sharded); "topk" / "topk_p" / "topk2" / "topk2c"
-    # / "scatter" / "binsearch" force one
+    # / "pallas" / "scatter" / "binsearch" force one
     # (ops/pointcloud.py:query_ball_point).
     ball_impl: str = "auto"
 

@@ -1,0 +1,100 @@
+"""Fused ball query — distances + first-nsample-in-radius selection in one
+Pallas kernel.
+
+Reference semantics (``pointnet2_utils.py:84-104``, replicated by
+:func:`lsdm_tpu.ops.pointcloud.query_ball_point`): for each query point,
+the first ``nsample`` in-radius point indices in ascending index order,
+empty slots filled with the first in-radius index.
+
+Why a kernel beats every XLA formulation measured in PERF.md round 3:
+
+* The TopK path materializes the (B, S, N) candidate tensor in HBM and
+  sorts every 1024-wide row (15.5 ms at sa1 train shapes) — but selection
+  needs no sort: with ``cand = where(d <= r^2, iota, N)`` the row MINIMUM
+  **is** the next in-radius index.  ``nsample`` iterated (min, mask-out)
+  passes select everything.
+* XLA can't keep the distance block resident across 32 reduction sweeps —
+  each would re-read HBM.  In-kernel the (BS, N) block lives in VMEM; the
+  sweeps are pure VPU work behind one MXU distance matmul.
+
+Indices are not differentiable, so the kernel is forward-only — no VJP
+needed (the downstream gather carries the gradients).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, xt_ref, xx_ref, out_ref, *, radius2: float, nsample: int,
+            n_points: int):
+    q = q_ref[0]                                    # (BS, 3)
+    # HIGHEST precision: the |q|^2+|x|^2-2qx expansion cancels
+    # catastrophically under default bf16 passes (ops/pointcloud.py)
+    d = -2.0 * jax.lax.dot_general(
+        q, xt_ref[0],                               # (BS, 3) x (3, N)
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = d + jnp.sum(q * q, axis=-1, keepdims=True)  # + |q|^2
+    d = d + xx_ref[0]                               # + |x|^2 (1, N)
+
+    BS = d.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BS, n_points), 1)
+    cand = jnp.where(d <= radius2, iota, n_points)
+    first = jnp.min(cand, axis=-1, keepdims=True)   # first in-radius index
+    cols = [first]
+    cur = jnp.where(cand == first, n_points, cand)
+    for _ in range(1, nsample):
+        nxt = jnp.min(cur, axis=-1, keepdims=True)
+        # empty slots repeat the first in-radius index (reference quirk);
+        # fully-empty rows clamp to 0 like the XLA paths
+        cols.append(jnp.where(nxt == n_points, first, nxt))
+        cur = jnp.where(cur == nxt, n_points, cur)
+    out = jnp.concatenate(cols, axis=-1)            # (BS, nsample)
+    out_ref[0] = jnp.clip(out, 0, n_points - 1)
+
+
+@partial(jax.jit, static_argnames=("radius", "nsample", "interpret"))
+def query_ball_point_pallas(
+    radius: float,
+    nsample: int,
+    xyz: jax.Array,      # (B, N, 3) points
+    new_xyz: jax.Array,  # (B, S, 3) query centers
+    interpret: bool = False,
+) -> jax.Array:
+    """Fixed-size ball query (B, S, nsample), exact reference semantics.
+
+    Caller contract (checked): S divisible by the 256-row query block (or
+    S itself small and divisible by 8).  ``lsdm_tpu.ops.pointcloud.
+    query_ball_point(impl="pallas")`` falls back to "topk" when the
+    shapes don't qualify.
+    """
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    BS = 256 if S % 256 == 0 else S
+    grid = (B, S // BS)
+
+    xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)      # (B, 3, N)
+    xx = jnp.sum(xyz.astype(jnp.float32) ** 2, -1)[:, None]  # (B, 1, N)
+
+    out = pl.pallas_call(
+        partial(_kernel, radius2=float(radius) ** 2, nsample=nsample,
+                n_points=N),
+        out_shape=jax.ShapeDtypeStruct((B, S, nsample), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BS, 3), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, 1, N), lambda b, s: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BS, nsample), lambda b, s: (b, s, 0)),
+        interpret=interpret,
+    )(new_xyz.astype(jnp.float32), xyz_t, xx)
+    return out

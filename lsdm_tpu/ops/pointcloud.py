@@ -271,6 +271,11 @@ def query_ball_point(
     * impl="topk2": hierarchical selection (:func:`smallest_k2`) — chunked
       local top-k plus a short merge sort replaces the full 1024-wide
       sort.  Identical results (unique iota candidates).
+    * impl="pallas": fused Pallas kernel (ops/ballquery_pallas.py) — the
+      (BS, N) distance block stays in VMEM and selection is nsample
+      iterated row-min passes (the minimum of ``where(in_radius, iota,
+      N)`` IS the next index; no sort, no HBM round-trip).  Falls back to
+      "topk" when S is not a multiple of 8.
     * impl="topk2c": hierarchical selection with the distance tensor
       computed NATIVELY in chunked (B, S, N/128, 128) layout — one
       ``dot_general`` emits the chunked shape directly, so the chunk split
@@ -292,6 +297,14 @@ def query_ball_point(
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
+    if impl == "pallas":
+        if S % 8:
+            impl = "topk"  # query-block rows must tile the sublane dim
+        else:
+            from lsdm_tpu.ops.ballquery_pallas import query_ball_point_pallas
+            return query_ball_point_pallas(
+                radius, min(nsample, N), xyz, new_xyz,
+                interpret=jax.default_backend() == "cpu")
     if impl == "topk2c" and (N < 256 or N % 128):
         impl = "topk"  # hierarchy has nothing to split
     if impl == "topk2c":

@@ -438,6 +438,14 @@ def test_smallest_k2_matches_top_k(rng):
         c = query_ball_point(0.35, 16, xyz, xyz[:, :sq], impl="topk2c")
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
+    # pallas (interpret on CPU): fused distance+selection kernel; exact
+    # equality at an SA-like shape, a tiny shape, and via the S%8 fallback
+    for npts, sq in [(512, 48), (64, 16), (100, 37)]:
+        xyz = jnp.asarray(rng.randn(2, npts, 3), jnp.float32)
+        a = query_ball_point(0.35, 16, xyz, xyz[:, :sq], impl="topk")
+        g = query_ball_point(0.35, 16, xyz, xyz[:, :sq], impl="pallas")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
+
     x = jnp.asarray(rng.randn(2, 200, 8), jnp.float32)
     np.testing.assert_array_equal(
         np.asarray(knn(x, 7, impl="topk")), np.asarray(knn(x, 7, impl="topk2")))
