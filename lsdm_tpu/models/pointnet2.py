@@ -146,6 +146,8 @@ class PointNetFeaturePropagation(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_dtype: jnp.dtype = jnp.float32
     select_impl: str = "topk"
+    # "auto": follow select_impl; "pallas": fused 3-NN kernel
+    nn_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -162,9 +164,10 @@ class PointNetFeaturePropagation(nn.Module):
                 points2, (points2.shape[0], xyz1.shape[1], points2.shape[2])
             )
         else:
-            interpolated = three_nn_interpolate(
-                xyz1, xyz2, points2,
-                impl="topk_p" if self.select_impl == "spmd" else "topk")
+            impl = (self.nn_impl if self.nn_impl != "auto"
+                    else ("topk_p" if self.select_impl == "spmd" else "topk"))
+            interpolated = three_nn_interpolate(xyz1, xyz2, points2,
+                                                impl=impl)
         if points1 is not None:
             new_points = jnp.concatenate([points1, interpolated], axis=-1)
         else:
@@ -215,10 +218,12 @@ class PointNet2Backbone(nn.Module):
         l3_xyz, l3_points = sa3(l2_xyz, l2_points, train, keys[2])
         l4_xyz, l4_points = sa4(l3_xyz, l3_points, train, keys[3])
 
-        fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="fp4")
-        fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="fp3")
-        fp2 = PointNetFeaturePropagation((256, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="fp2")
-        fp1 = PointNetFeaturePropagation((128, 128, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, name="fp1")
+        # ball_impl="pallas" extends to the FP 3-NN (same fused kernel family)
+        nn_impl = "pallas" if self.ball_impl == "pallas" else "auto"
+        fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp4")
+        fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp3")
+        fp2 = PointNetFeaturePropagation((256, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp2")
+        fp1 = PointNetFeaturePropagation((128, 128, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp1")
         l3_points = fp4(l3_xyz, l4_xyz, l3_points, l4_points, train)
         l2_points = fp3(l2_xyz, l3_xyz, l2_points, l3_points, train)
         l1_points = fp2(l1_xyz, l2_xyz, l1_points, l2_points, train)

@@ -98,3 +98,68 @@ def query_ball_point_pallas(
         interpret=interpret,
     )(new_xyz.astype(jnp.float32), xyz_t, xx)
     return out
+
+
+def _three_nn_kernel(q_ref, xt_ref, xx_ref, dist_ref, idx_ref, *, k: int,
+                     n_src: int):
+    q = q_ref[0]                                    # (BS, 3)
+    d = -2.0 * jax.lax.dot_general(
+        q, xt_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d = d + jnp.sum(q * q, axis=-1, keepdims=True)
+    d = d + xx_ref[0]                               # (BS, S)
+
+    BS = d.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BS, n_src), 1)
+    cur = d
+    dcols, icols = [], []
+    for _ in range(k):
+        m = jnp.min(cur, axis=-1, keepdims=True)
+        # ties resolve to the lowest index, like lax.top_k(-d)
+        sel = jnp.min(jnp.where(cur == m, iota, n_src), axis=-1,
+                      keepdims=True)
+        dcols.append(m)
+        icols.append(sel)
+        # mask by POSITION (distances can tie across positions)
+        cur = jnp.where(iota == sel, jnp.inf, cur)
+    dist_ref[0] = jnp.concatenate(dcols, axis=-1)
+    idx_ref[0] = jnp.concatenate(icols, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def three_nn_pallas(
+    xyz1: jax.Array,  # (B, N, 3) targets
+    xyz2: jax.Array,  # (B, S, 3) sources
+    k: int = 3,
+    interpret: bool = False,
+):
+    """k nearest sources for every target — fused distances + selection
+    (same VMEM-resident min-pass design as :func:`query_ball_point_pallas`;
+    selection by DISTANCE with ties to the lowest index, exactly
+    ``lax.top_k(-d, k)``).  Returns (dists, idx), both (B, N, k)."""
+    B, N, _ = xyz1.shape
+    S = xyz2.shape[1]
+    BS = 256 if N % 256 == 0 else N
+    grid = (B, N // BS)
+
+    xyz2_t = jnp.swapaxes(xyz2.astype(jnp.float32), 1, 2)     # (B, 3, S)
+    xx = jnp.sum(xyz2.astype(jnp.float32) ** 2, -1)[:, None]  # (B, 1, S)
+
+    dists, idx = pl.pallas_call(
+        partial(_three_nn_kernel, k=k, n_src=S),
+        out_shape=(jax.ShapeDtypeStruct((B, N, k), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N, k), jnp.int32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BS, 3), lambda b, s: (b, s, 0)),
+            pl.BlockSpec((1, 3, S), lambda b, s: (b, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda b, s: (b, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, BS, k), lambda b, s: (b, s, 0)),
+                   pl.BlockSpec((1, BS, k), lambda b, s: (b, s, 0))),
+        interpret=interpret,
+    )(xyz1.astype(jnp.float32), xyz2_t, xx)
+    return dists, idx

@@ -591,9 +591,19 @@ def three_nn_interpolate(
 
     xyz1: (B, N, 3); xyz2: (B, S, 3); points2: (B, S, C) -> (B, N, C).
     """
-    d = square_distance(xyz1, xyz2)  # (B, N, S)
     k = min(3, xyz2.shape[1])  # reference always has S>=16; tiny configs don't
-    if impl == "topk":  # fast single-chip custom call; no SPMD rule
+    if impl == "pallas" and xyz1.shape[1] % 8 == 0:
+        # fused distances + k min-passes in VMEM (ops/ballquery_pallas.py)
+        from lsdm_tpu.ops.ballquery_pallas import three_nn_pallas
+        dists, idx = three_nn_pallas(
+            xyz1, xyz2, k, interpret=jax.default_backend() == "cpu")
+        dist_recip = 1.0 / (dists + eps)
+        norm = jnp.sum(dist_recip, axis=2, keepdims=True)
+        weight = dist_recip / norm
+        gathered = index_points(points2, idx)  # (B, N, k, C)
+        return jnp.sum(gathered * weight[..., None], axis=2)
+    d = square_distance(xyz1, xyz2)  # (B, N, S)
+    if impl == "topk" or impl == "pallas":  # fast single-chip custom call
         neg_top, idx = jax.lax.top_k(-d, k)
         dists = -neg_top
     elif impl == "topk_p":  # partitioned top_k (topk_rows)

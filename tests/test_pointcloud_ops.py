@@ -474,3 +474,49 @@ def test_smallest_k_matches_top_k(rng):
 
     np.testing.assert_allclose(np.asarray(vals), -np.asarray(ref_vals),
                                atol=1e-7)
+
+
+@pytest.mark.slow  # ~70 s: interpret-mode kernels inside a full backbone
+def test_pallas_three_nn_and_backbone_grads(rng):
+    """Fused 3-NN kernel == lax.top_k selection (indices exact, distances
+    to MXU-pass tolerance), and the full backbone under ball_impl=pallas
+    matches the topk backbone forward and differentiates (positions carry
+    no parameter tangents, so the forward-only kernels need no VJP)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsdm_tpu.models.pointnet2 import PointNet2Backbone
+    from lsdm_tpu.ops.ballquery_pallas import three_nn_pallas
+    from lsdm_tpu.ops.pointcloud import square_distance
+
+    x1 = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+    x2 = jnp.asarray(rng.randn(2, 16, 3), jnp.float32)
+    d = square_distance(x1, x2)
+    rn, ri = jax.lax.top_k(-d, 3)
+    gd, gi = three_nn_pallas(x1, x2, 3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(gi))
+    np.testing.assert_allclose(np.asarray(-rn), np.asarray(gd), atol=1e-5)
+
+    m = PointNet2Backbone(out_dim=3, sa_npoints=(64, 16, 8, 4),
+                          sa_nsample=16, ball_impl="pallas",
+                          gather_bwd="matmul_fwd")
+    x = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}, x, True)
+
+    def loss(p):
+        out, _ = m.apply({"params": p, "batch_stats": v["batch_stats"]}, x,
+                         True, mutable=["batch_stats"],
+                         rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    gn = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.sum(jnp.abs(l))), g, 0.0)
+    assert np.isfinite(gn) and gn > 0
+
+    m2 = PointNet2Backbone(out_dim=3, sa_npoints=(64, 16, 8, 4),
+                           sa_nsample=16)
+    o1 = m.apply(v, x, False)
+    o2 = m2.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
