@@ -152,7 +152,6 @@ def _sample_fused(model, variables, schedule, cond, B, N, key,
     bitwise.  The (cat, guiding, x0) DenoiserOutput is recomputed once
     post-loop at the final step's input through the standard composed path.
     """
-    from lsdm_tpu.diffusion.gaussian import DenoiserOutput  # noqa: F401
     from lsdm_tpu.ops.denoise_pallas import (
         extract_step_params, fused_denoise_chain, fused_denoise_step)
 
