@@ -68,6 +68,7 @@ def test_cond_chunk_bit_equality():
                                atol=5e-3)
 
 
+@pytest.mark.slow  # ~58 s: two full sampling compiles at the tiny config
 def test_precomputed_emb_table_bit_equality():
     """The timestep-embedding-table fast path (models/sampling.py) must be
     numerically identical (to float-noise ulps) to the per-step recompute
