@@ -22,8 +22,27 @@ from __future__ import annotations
 
 import argparse
 import json
+import subprocess
 import sys
 import time
+
+
+def _device_alive(timeout: float = 120.0) -> bool:
+    """Probe the ambient JAX backend in a SUBPROCESS with a hard timeout.
+
+    The tunneled axon TPU transport can die (env outage); a hung transport
+    blocks the first device op for ~50 min before erroring (observed:
+    .bench_logs/queue.log bench_closeout rc=1 after 52 min).  An in-process
+    call cannot be timed out reliably, so the probe runs `jnp.ones().sum()`
+    in a child interpreter and kills it on timeout."""
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jnp.sum(jnp.ones((2, 2)))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main():
@@ -72,9 +91,36 @@ def main():
                     help="skip the host-loop baseline (vs_baseline=0); "
                          "useful for batched-throughput rows where only "
                          "ours matters")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu' for self-tests)")
+    ap.add_argument("--wait_tpu", type=float, default=900.0,
+                    help="seconds to wait for a dead device tunnel before "
+                         "failing fast (0 = skip the health probe)")
     args = ap.parse_args()
 
+    # Fail fast on a dead tunnel instead of hanging ~50 min in the first
+    # device op: probe the backend in a bounded subprocess, ride out brief
+    # outages up to --wait_tpu, then emit an explicit error JSON and exit.
+    if args.platform is None and args.wait_tpu > 0:
+        deadline = time.monotonic() + args.wait_tpu
+        alive = _device_alive()
+        while not alive and time.monotonic() < deadline:
+            print("[bench] device tunnel unreachable; retrying "
+                  f"(up to {args.wait_tpu:.0f}s total)", file=sys.stderr)
+            time.sleep(60)
+            alive = _device_alive()
+        if not alive:
+            print(json.dumps({
+                "metric": "ddpm_steps_per_sec", "value": 0.0,
+                "unit": "steps/s", "vs_baseline": 0.0,
+                "error": "device tunnel unreachable (probe timed out)",
+            }))
+            sys.exit(1)
+
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     # Persistent compilation cache: remote (tunneled) TPU compiles take
     # minutes per program; cached executables make repeat bench runs fast.
