@@ -63,7 +63,7 @@ def main():
                          "(caps the PointNet++ activation peak; see "
                          "models/sampling.py)")
     ap.add_argument("--ball_impl", default="auto",
-                    choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "scatter",
+                    choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "fused", "scatter",
                              "binsearch"],
                     help="ball-query formulation A/B (PERF.md round 3); "
                          "'auto' = the production default")

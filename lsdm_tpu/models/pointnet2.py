@@ -102,6 +102,33 @@ class PointNetSetAbstraction(nn.Module):
             new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
         # nsample can exceed the available points in down-scaled test configs
         ball = self.ball_impl
+        if ball == "fused":
+            if (not train and points is not None
+                    and new_xyz.shape[1] % 8 == 0):
+                # whole stage as ONE Pallas kernel: selection masks double
+                # as one-hot gather matrices, layer 1 hoisted to the N
+                # points, eval BatchNorm folded — the grouped (B, S, K, C)
+                # buffer never exists (ops/sa_fused_pallas.py)
+                from lsdm_tpu.ops.sa_fused_pallas import (
+                    fold_conv_bn, sa_stage_fused)
+                base = jnp.concatenate([xyz, points], axis=-1)
+                blocks = [
+                    ConvBNBlock(f, dtype=self.dtype, bn_dtype=self.bn_dtype,
+                                name=f"mlp_{i}")
+                    for i, f in enumerate(self.mlp)
+                ]
+                # tiny dummy chain creates/binds the exact same param tree
+                # as the composed path (checkpoint-name parity)
+                d = jnp.zeros((1, 1, 1, base.shape[-1]), self.dtype)
+                for blk in blocks:
+                    d = blk(d, train=False)
+                folded = tuple(fold_conv_bn(blk.variables) for blk in blocks)
+                new_points = sa_stage_fused(
+                    self.radius, min(self.nsample, N), xyz, new_xyz, base,
+                    folded, compute_dtype=self.dtype,
+                    interpret=jax.default_backend() == "cpu")
+                return new_xyz, new_points
+            ball = "pallas"  # train / tiny configs: composed fallback
         if ball == "auto":
             # sharded context: partitioned top_k — the TopK custom call per
             # batch shard, zero collectives (ops/pointcloud.py:topk_rows).
@@ -218,8 +245,8 @@ class PointNet2Backbone(nn.Module):
         l3_xyz, l3_points = sa3(l2_xyz, l2_points, train, keys[2])
         l4_xyz, l4_points = sa4(l3_xyz, l3_points, train, keys[3])
 
-        # ball_impl="pallas" extends to the FP 3-NN (same fused kernel family)
-        nn_impl = "pallas" if self.ball_impl == "pallas" else "auto"
+        # ball_impl="pallas"/"fused" extend to the FP 3-NN (same kernel family)
+        nn_impl = "pallas" if self.ball_impl in ("pallas", "fused") else "auto"
         fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp4")
         fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp3")
         fp2 = PointNetFeaturePropagation((256, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp2")

@@ -265,9 +265,11 @@ def _chain_kernel(coef_ref, x0_ref, noise_ref, cpcd_ref, e2_ref,
     if clip_denoised:
         x0 = jnp.clip(x0, -1.0, 1.0)
 
-    coef1 = coef_ref[0, 0]
-    coef2 = coef_ref[0, 1]
-    stdnz = coef_ref[0, 2]
+    # whole (T, 3) table lives in SMEM (a (1, 3) block of a (T, 3) array
+    # is an illegal Mosaic tiling for T > 1); index this step's row
+    coef1 = coef_ref[t, 0]
+    coef2 = coef_ref[t, 1]
+    stdnz = coef_ref[t, 2]
     out_ref[0] = coef1 * x0 + coef2 * x_t + stdnz * noise_ref[0, 0]
 
 
@@ -300,7 +302,7 @@ def fused_denoise_chain(
         return pl.BlockSpec(arr.shape, lambda b, t: (0,) * arr.ndim)
 
     in_specs = [
-        pl.BlockSpec((1, 3), lambda b, t: (t, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((T, 3), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0)),       # x_init
         pl.BlockSpec((1, 1, N, 3), lambda b, t: (b, t, 0, 0)),  # noise
         pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0)),       # cond_pcd

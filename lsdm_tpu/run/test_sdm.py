@@ -46,7 +46,7 @@ def main():
                     help="encode conditioning in batch chunks (memory cap, "
                          "models/sampling.py)")
     ap.add_argument("--ball_impl", default="auto",
-                    choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "scatter",
+                    choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "fused", "scatter",
                              "binsearch"],
                     help="ball-query formulation (PERF.md round 3); all "
                          "choices produce identical indices")

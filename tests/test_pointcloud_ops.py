@@ -520,3 +520,81 @@ def test_pallas_three_nn_and_backbone_grads(rng):
     o1 = m.apply(v, x, False)
     o2 = m2.apply(v, x, False)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+def test_sa_stage_fused_matches_composed(rng):
+    """ops/sa_fused_pallas.py: one fused eval-mode SetAbstraction kernel
+    (distances + selection-as-one-hot-gather + BN-folded MLP + K-maxpool)
+    == the composed ball-query/gather/ConvBNBlock chain."""
+    from lsdm_tpu.models.pointnet2 import (ConvBNBlock,
+                                           PointNetSetAbstraction)
+    from lsdm_tpu.ops.sa_fused_pallas import fold_conv_bn, sa_stage_fused
+
+    B, N, S, K = 2, 32, 16, 8
+    xyz = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    feats = jnp.asarray(rng.randn(B, N, 5), jnp.float32)
+
+    sa = PointNetSetAbstraction(S, 0.8, K, (8, 16), fps_mode="exact")
+    v = sa.init(jax.random.PRNGKey(0), xyz, feats, False,
+                jax.random.PRNGKey(1))
+    ref_xyz, ref_pts = sa.apply(v, xyz, feats, False, jax.random.PRNGKey(1))
+
+    # fold the same params outside flax and drive the kernel directly
+    folded = tuple(
+        fold_conv_bn({
+            "params": v["params"][f"mlp_{i}"],
+            "batch_stats": v["batch_stats"][f"mlp_{i}"],
+        })
+        for i in range(2)
+    )
+    base = jnp.concatenate([xyz, feats], axis=-1)
+    out = sa_stage_fused(0.8, K, xyz, ref_xyz, base, folded, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_pts),
+                               rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.slow  # interpret-mode kernels inside full backbones
+def test_backbone_ball_impl_fused_matches_composed(rng):
+    """PointNet2Backbone(ball_impl="fused") == default eval forward; falls
+    back to the composed path in train mode (finite grads)."""
+    from lsdm_tpu.models.pointnet2 import PointNet2Backbone
+
+    x = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+    m_ref = PointNet2Backbone(out_dim=3, sa_npoints=(64, 16, 8, 4),
+                              sa_nsample=16)
+    v = m_ref.init({"params": jax.random.PRNGKey(1)}, x, False)
+    o_ref = m_ref.apply(v, x, False)
+    m_f = PointNet2Backbone(out_dim=3, sa_npoints=(64, 16, 8, 4),
+                            sa_nsample=16, ball_impl="fused")
+    o_f = m_f.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(o_f), np.asarray(o_ref),
+                               rtol=2e-4, atol=2e-6)
+
+    # bf16 compute mode agrees to bf16-grade tolerance
+    m_refb = PointNet2Backbone(out_dim=3, sa_npoints=(64, 16, 8, 4),
+                               sa_nsample=16, dtype=jnp.bfloat16)
+    vb = m_refb.init({"params": jax.random.PRNGKey(1)}, x, False)
+    orb = m_refb.apply(vb, x, False).astype(jnp.float32)
+    m_fb = PointNet2Backbone(out_dim=3, sa_npoints=(64, 16, 8, 4),
+                             sa_nsample=16, dtype=jnp.bfloat16,
+                             ball_impl="fused")
+    ofb = m_fb.apply(vb, x, False).astype(jnp.float32)
+    scale = float(jnp.max(jnp.abs(orb)))
+    assert float(jnp.max(jnp.abs(orb - ofb))) < 2e-2 * max(scale, 1.0)
+
+    # train mode: fused falls back to the composed path and differentiates
+    m_t = PointNet2Backbone(out_dim=3, sa_npoints=(64, 16, 8, 4),
+                            sa_nsample=16, ball_impl="fused")
+    vt = m_t.init({"params": jax.random.PRNGKey(1),
+                   "dropout": jax.random.PRNGKey(2)}, x, True)
+
+    def loss(p):
+        out, _ = m_t.apply({"params": p, "batch_stats": vt["batch_stats"]},
+                           x, True, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(vt["params"])
+    gn = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.sum(jnp.abs(l))), g, 0.0)
+    assert np.isfinite(gn) and gn > 0
