@@ -184,14 +184,43 @@ class PointNetFeaturePropagation(nn.Module):
         points1: Optional[jax.Array],  # (B, N, D1) or None
         points2: jax.Array,  # (B, S, D2)
         train: bool = False,
+        extra_folded: tuple = (),  # eval-only trailing (W', b') layers
+        extra_acts: tuple = (),    # their activations ("relu"/"none")
     ) -> jax.Array:
         S = xyz2.shape[1]
+        if (self.nn_impl == "fused" and not train and S > 1
+                and xyz1.shape[1] % 8 == 0):
+            # whole stage as ONE Pallas kernel: the 3-NN masks scaled by
+            # the normalized inverse-distance weights form one (BS, S)
+            # combination matrix, so interpolate == one MXU contraction;
+            # eval BatchNorm folded (ops/fp_fused_pallas.py)
+            from lsdm_tpu.ops.fp_fused_pallas import fp_stage_fused
+            from lsdm_tpu.ops.sa_fused_pallas import fold_conv_bn
+            blocks = [
+                ConvBNBlock(f, dtype=self.dtype, bn_dtype=self.bn_dtype,
+                            name=f"mlp_{i}")
+                for i, f in enumerate(self.mlp)
+            ]
+            # tiny dummy chain creates/binds the exact same param tree as
+            # the composed path (checkpoint-name parity)
+            d1 = 0 if points1 is None else points1.shape[-1]
+            d = jnp.zeros((1, 1, 1, d1 + points2.shape[-1]), self.dtype)
+            for blk in blocks:
+                d = blk(d, train=False)
+            folded = tuple(fold_conv_bn(blk.variables) for blk in blocks)
+            return fp_stage_fused(
+                xyz1, xyz2, points1, points2,
+                folded + tuple(extra_folded),
+                acts=("relu",) * len(folded) + tuple(extra_acts),
+                compute_dtype=self.dtype,
+                interpret=jax.default_backend() == "cpu")
         if S == 1:
             interpolated = jnp.broadcast_to(
                 points2, (points2.shape[0], xyz1.shape[1], points2.shape[2])
             )
         else:
-            impl = (self.nn_impl if self.nn_impl != "auto"
+            impl = (("pallas" if self.nn_impl == "fused" else self.nn_impl)
+                    if self.nn_impl != "auto"
                     else ("topk_p" if self.select_impl == "spmd" else "topk"))
             interpolated = three_nn_interpolate(xyz1, xyz2, points2,
                                                 impl=impl)
@@ -203,6 +232,15 @@ class PointNetFeaturePropagation(nn.Module):
             new_points = ConvBNBlock(feats, dtype=self.dtype, bn_dtype=self.bn_dtype, name=f"mlp_{i}")(
                 new_points, train
             )
+        # extras are BN-folded EVAL weights; callers pass them only in eval
+        # (the backbone's fused tail) — applied here when the kernel gate
+        # above didn't take, so fused/composed stay interchangeable
+        for (w, b), act in zip(extra_folded, extra_acts):
+            new_points = (new_points.astype(self.dtype) @ w.astype(self.dtype)
+                          + b).astype(jnp.float32)
+            if act == "relu":
+                new_points = jax.nn.relu(new_points)
+            new_points = new_points.astype(self.dtype)
         return new_points
 
 
@@ -245,8 +283,10 @@ class PointNet2Backbone(nn.Module):
         l3_xyz, l3_points = sa3(l2_xyz, l2_points, train, keys[2])
         l4_xyz, l4_points = sa4(l3_xyz, l3_points, train, keys[3])
 
-        # ball_impl="pallas"/"fused" extend to the FP 3-NN (same kernel family)
-        nn_impl = "pallas" if self.ball_impl in ("pallas", "fused") else "auto"
+        # ball_impl="pallas" extends to the FP 3-NN; "fused" runs the whole
+        # FP stage as one kernel too (same kernel family)
+        nn_impl = (self.ball_impl if self.ball_impl in ("pallas", "fused")
+                   else "auto")
         fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp4")
         fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp3")
         fp2 = PointNetFeaturePropagation((256, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp2")
@@ -254,9 +294,25 @@ class PointNet2Backbone(nn.Module):
         l3_points = fp4(l3_xyz, l4_xyz, l3_points, l4_points, train)
         l2_points = fp3(l2_xyz, l3_xyz, l2_points, l3_points, train)
         l1_points = fp2(l1_xyz, l2_xyz, l1_points, l2_points, train)
+
+        head = ConvBNBlock(128, dtype=self.dtype, bn_dtype=self.bn_dtype,
+                           name="head")
+        conv2 = nn.Dense(self.out_dim, dtype=self.dtype, name="conv2")
+        if self.ball_impl == "fused" and not train:
+            # eval: dropout is identity, so head + conv2 ride fp1's fused
+            # kernel as two trailing layers — the whole post-SA tail is
+            # ONE kernel (dummy calls bind the identical param tree)
+            from lsdm_tpu.ops.sa_fused_pallas import fold_conv_bn
+            d = head(jnp.zeros((1, 1, 1, 128), self.dtype), train=False)
+            conv2(d)
+            extra = (fold_conv_bn(head.variables),
+                     (conv2.variables["params"]["kernel"].astype(jnp.float32),
+                      conv2.variables["params"]["bias"].astype(jnp.float32)))
+            return fp1(l0_xyz, l1_xyz, None, l1_points, train,
+                       extra_folded=extra, extra_acts=("relu", "none"))
         l0_points = fp1(l0_xyz, l1_xyz, None, l1_points, train)
 
-        x = ConvBNBlock(128, dtype=self.dtype, bn_dtype=self.bn_dtype, name="head")(l0_points, train)
+        x = head(l0_points, train)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="conv2")(x)
+        x = conv2(x)
         return x

@@ -18,7 +18,8 @@ pytestmark = pytest.mark.slow  # ~2-3 min of Mosaic lowering
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.parametrize("family", ["ballquery", "chamfer", "denoise", "sa"])
+@pytest.mark.parametrize("family",
+                         ["ballquery", "chamfer", "denoise", "fp", "sa"])
 def test_mosaic_lowering(family):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "verify_mosaic.py"),

@@ -598,3 +598,27 @@ def test_backbone_ball_impl_fused_matches_composed(rng):
     gn = jax.tree_util.tree_reduce(
         lambda a, l: a + float(jnp.sum(jnp.abs(l))), g, 0.0)
     assert np.isfinite(gn) and gn > 0
+
+
+def test_fp_stage_fused_matches_composed(rng):
+    """ops/fp_fused_pallas.py: one fused eval-mode FeaturePropagation
+    kernel (3-NN selection as a weighted one-hot combination matrix +
+    BN-folded MLP) == the composed interpolate/ConvBNBlock chain, with
+    and without points1."""
+    from lsdm_tpu.models.pointnet2 import PointNetFeaturePropagation
+
+    B, N, S = 2, 32, 8
+    xyz1 = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+    xyz2 = jnp.asarray(rng.randn(B, S, 3), jnp.float32)
+    p2 = jnp.asarray(rng.randn(B, S, 16), jnp.float32)
+
+    for d1 in (None, 6):
+        p1 = (None if d1 is None
+              else jnp.asarray(rng.randn(B, N, d1), jnp.float32))
+        fp = PointNetFeaturePropagation((8, 16))
+        v = fp.init(jax.random.PRNGKey(0), xyz1, xyz2, p1, p2, False)
+        ref = fp.apply(v, xyz1, xyz2, p1, p2, False)
+        fp_f = PointNetFeaturePropagation((8, 16), nn_impl="fused")
+        out = fp_f.apply(v, xyz1, xyz2, p1, p2, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)

@@ -140,10 +140,42 @@ def case_sa():
     return ok
 
 
+def case_fp():
+    from lsdm_tpu.ops.fp_fused_pallas import fp_stage_fused
+
+    ok = True
+    # the four real PointNet2Backbone FP stages at flagship scale
+    # (models/pointnet2.py; D1 = that level's feature width, D2 = the
+    # coarser level's; fp1 has points1=None); plus a bf16 pass
+    # fp1 carries the backbone tail (head relu + conv2 linear) as extra
+    # layers in the flagship fused program (models/pointnet2.py)
+    for name, N, S, D1, D2, mlp, acts, cdt in (
+        ("fp4", 64, 16, 256, 512, (256, 256), None, jnp.float32),
+        ("fp3", 256, 64, 128, 256, (256, 256), None, jnp.float32),
+        ("fp2", 1024, 256, 64, 256, (256, 128), None, jnp.float32),
+        ("fp1+tail", 1024, 1024, None, 128, (128, 128, 128, 128, 3),
+         ("relu",) * 4 + ("none",), jnp.float32),
+        ("fp2 bf16", 1024, 256, 64, 256, (256, 128), None, jnp.bfloat16),
+    ):
+        folded, f_in = [], (0 if D1 is None else D1) + D2
+        for f in mlp:
+            folded.append((jnp.zeros((f_in, f)), jnp.zeros((f,))))
+            f_in = f
+        p1 = None if D1 is None else jnp.zeros((2, N, D1))
+        ok &= _export_tpu(
+            f"fp_stage_fused ({name}: N{N} S{S})",
+            lambda a, b, c: fp_stage_fused(  # noqa: B023
+                a, b, p1, c, tuple(folded), acts=acts, compute_dtype=cdt),
+            jnp.zeros((2, N, 3)), jnp.zeros((2, S, 3)),
+            jnp.zeros((2, S, D2)))
+    return ok
+
+
 CASES = {
     "ballquery": case_ballquery,
     "chamfer": case_chamfer,
     "denoise": case_denoise,
+    "fp": case_fp,
     "sa": case_sa,
 }
 
