@@ -98,7 +98,10 @@ class PointNetSetAbstraction(nn.Module):
         if self.fps_mode == "auto" and self.npoint == N:
             new_xyz = xyz  # FPS of N points out of N = identity set
         else:
-            fps_idx = farthest_point_sample(xyz, self.npoint, key=fps_key)
+            fps_idx = farthest_point_sample(
+                xyz, self.npoint, key=fps_key,
+                impl=("pallas" if self.ball_impl in ("pallas", "fused")
+                      else "scan"))
             new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
         # nsample can exceed the available points in down-scaled test configs
         ball = self.ball_impl

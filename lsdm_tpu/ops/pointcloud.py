@@ -219,13 +219,18 @@ def chamfer_distance(
 
 
 def farthest_point_sample(
-    xyz: jax.Array, npoint: int, key: Optional[jax.Array] = None
+    xyz: jax.Array, npoint: int, key: Optional[jax.Array] = None,
+    impl: str = "scan",
 ) -> jax.Array:
     """Farthest-point sampling indices (B, npoint).
 
     Reference algorithm (``pointnet2_utils.py:60-81``) as a ``lax.scan``:
     start from a random point (or 0 when ``key is None`` for determinism),
     iteratively pick the point farthest from the selected set.
+
+    ``impl="pallas"`` runs the whole selection in one kernel per scene
+    with the running min-distance row VMEM-resident (ops/fps_pallas.py;
+    bit-identical indices).
     """
     B, N, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
@@ -233,6 +238,11 @@ def farthest_point_sample(
         farthest0 = jnp.zeros((B,), jnp.int32)
     else:
         farthest0 = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+    if impl == "pallas":
+        from lsdm_tpu.ops.fps_pallas import farthest_point_sample_pallas
+        return farthest_point_sample_pallas(
+            xyz, npoint, farthest0,
+            interpret=jax.default_backend() == "cpu")
 
     def body(carry, _):
         distance, farthest = carry

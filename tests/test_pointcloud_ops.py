@@ -622,3 +622,17 @@ def test_fp_stage_fused_matches_composed(rng):
         out = fp_f.apply(v, xyz1, xyz2, p1, p2, False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_fps_pallas_bit_identical(rng):
+    """ops/fps_pallas.py: whole-selection FPS kernel returns bit-identical
+    indices to the lax.scan formulation (same sum((x-c)^2) arithmetic,
+    first-max argmax semantics), zero and random starts."""
+    from lsdm_tpu.ops.pointcloud import farthest_point_sample
+
+    for B, N, P in ((2, 64, 16), (3, 128, 32)):
+        x = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+        for key in (None, jax.random.PRNGKey(7)):
+            a = farthest_point_sample(x, P, key=key)
+            b = farthest_point_sample(x, P, key=key, impl="pallas")
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

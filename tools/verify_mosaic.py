@@ -171,11 +171,25 @@ def case_fp():
     return ok
 
 
+def case_fps():
+    from lsdm_tpu.ops.fps_pallas import farthest_point_sample_pallas
+
+    ok = True
+    # the three real FPS calls (sa2/sa3/sa4; sa1 is the identity shortcut)
+    for N, P in ((1024, 256), (256, 64), (64, 16)):
+        ok &= _export_tpu(
+            f"farthest_point_sample_pallas (N{N} P{P})",
+            lambda a, b: farthest_point_sample_pallas(a, P, b),  # noqa: B023
+            jnp.zeros((2, N, 3)), jnp.zeros((2,), jnp.int32))
+    return ok
+
+
 CASES = {
     "ballquery": case_ballquery,
     "chamfer": case_chamfer,
     "denoise": case_denoise,
     "fp": case_fp,
+    "fps": case_fps,
     "sa": case_sa,
 }
 
