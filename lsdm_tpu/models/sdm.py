@@ -128,7 +128,12 @@ class SceneDiffusionModel(nn.Module):
                 # (lax.top_k has no SPMD rule; see ops/pointcloud.py)
                 select_impl="spmd" if self.obj_sharding is not None
                 else "topk",
-                ball_impl=cfg.ball_impl,
+                # the fused eval kernels (ops/{sa,fp,fps}_fused_pallas) have
+                # no SPMD partitioning rule — under a sharded object axis
+                # they would force replication, so the partition-clean
+                # composed formulations take over
+                ball_impl=("auto" if self.obj_sharding is not None
+                           and cfg.ball_impl == "fused" else cfg.ball_impl),
                 gather_bwd=cfg.gather_bwd,
             )
         self.combine_extraction = MLP((D,), ("gelu",), dtype=dtype)
@@ -196,7 +201,13 @@ class SceneDiffusionModel(nn.Module):
         pcd_out = pcd_out * attn_w.astype(pcd_out.dtype)
         pcd_out = pcd_out.reshape(B, num_obj, num_points, cfg.pcd_dim)  # scramble!
         pcd_trans = pcd_out.reshape(B * num_obj, cfg.pcd_points, cfg.xyz_dim)
-        pcd_trans, _ = self.pcd_attention(translation, pcd_trans, pcd_trans)
+        pcd_trans, _ = self.pcd_attention(
+            translation, pcd_trans, pcd_trans,
+            # head_dim=1 fused eval kernel: the (B*O, H, N, N) logits plane
+            # (432 MB at batch 1, 3.5 GB at batch 8) never leaves VMEM.
+            # Skipped under a sharded object axis (no SPMD rule).
+            fused=(cfg.ball_impl == "fused" and not train
+                   and self.obj_sharding is None))
         pcd_trans = pcd_trans.reshape(B, num_obj, num_points, cfg.translation_params)
         pcd_out = jnp.concatenate([pcd_out, pcd_trans], axis=-1)
         pcd_out = self.point_wise_trans_layer(pcd_out)  # (B, num_obj, N, 3)

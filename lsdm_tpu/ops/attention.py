@@ -139,6 +139,7 @@ class TorchMultiheadAttention(nn.Module):
         key: jax.Array,  # (B, S, kdim)
         value: jax.Array,  # (B, S, vdim)
         attn_mask: Optional[jax.Array] = None,
+        fused: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         E = self.embed_dim
         init = nn.initializers.xavier_uniform()
@@ -150,6 +151,19 @@ class TorchMultiheadAttention(nn.Module):
         q = query.astype(self.dtype) @ q_w.T.astype(self.dtype) + in_b[:E].astype(self.dtype)
         k = key.astype(self.dtype) @ k_w.T.astype(self.dtype) + in_b[E : 2 * E].astype(self.dtype)
         v = value.astype(self.dtype) @ v_w.T.astype(self.dtype) + in_b[2 * E :].astype(self.dtype)
+
+        if (fused and self.num_heads == E and attn_mask is None
+                and q.shape[1] % 8 == 0):
+            # head_dim == 1 eval fast path: the (B, H, L, S) logits tensor
+            # never leaves VMEM (ops/attn_pallas.py); weights (the second
+            # return) are not computed — callers on this path discard them
+            from lsdm_tpu.ops.attn_pallas import rank1_mha_pallas
+            out = rank1_mha_pallas(
+                q, k, v, compute_dtype=self.dtype,
+                interpret=jax.default_backend() == "cpu")
+            out = TorchLinear(E, dtype=self.dtype, name="out_proj")(
+                out.astype(self.dtype))
+            return out, None
 
         out, weights = multihead_attention(
             q, k, v, self.num_heads, attn_mask=attn_mask, dtype=self.dtype

@@ -19,7 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.parametrize("family",
-                         ["ballquery", "chamfer", "denoise", "fp", "fps", "sa"])
+                         ["attn", "ballquery", "chamfer", "denoise", "fp", "fps", "sa"])
 def test_mosaic_lowering(family):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "verify_mosaic.py"),

@@ -636,3 +636,21 @@ def test_fps_pallas_bit_identical(rng):
             a = farthest_point_sample(x, P, key=key)
             b = farthest_point_sample(x, P, key=key, impl="pallas")
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rank1_mha_fused_matches_composed(rng):
+    """ops/attn_pallas.py: head_dim=1 fused attention (logits VMEM-only)
+    == the composed torch-parity MHA, fp32 and bf16."""
+    from lsdm_tpu.ops.attention import TorchMultiheadAttention
+
+    q = jnp.asarray(rng.randn(3, 64, 12), jnp.float32)
+    kv = jnp.asarray(rng.randn(3, 64, 3), jnp.float32)
+    for dt, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 3e-2)):
+        m = TorchMultiheadAttention(embed_dim=12, num_heads=12, kdim=3,
+                                    vdim=3, dtype=dt)
+        v = m.init(jax.random.PRNGKey(0), q, kv, kv)
+        a, w = m.apply(v, q, kv, kv)
+        b, wn = m.apply(v, q, kv, kv, fused=True)
+        assert wn is None
+        np.testing.assert_allclose(np.asarray(b, np.float32),
+                                   np.asarray(a, np.float32), atol=tol)

@@ -161,3 +161,27 @@ def test_sample_sdm_matches_naive_sampler(model_and_params):
     np.testing.assert_allclose(np.asarray(naive), np.asarray(fast), atol=1e-5)
     np.testing.assert_allclose(np.asarray(naive_last.cat),
                                np.asarray(fast_last.cat), atol=1e-6)
+
+
+@pytest.mark.slow  # interpret-mode kernels inside the full encode
+def test_encode_conditioning_fused_matches_composed():
+    """SDMConfig(ball_impl="fused") eval encode (fused SA/FP/FPS stages +
+    rank-1 pcd_attention kernel, ops/attn_pallas.py) == the composed
+    encode on the same params."""
+    import dataclasses
+
+    cfg_f = dataclasses.replace(TINY, ball_impl="fused")
+    m_ref = SceneDiffusionModel(TINY)
+    m_f = SceneDiffusionModel(cfg_f)
+    x, mask, t, objs, cats, text = make_inputs(jax.random.PRNGKey(0))
+    v = m_ref.init(jax.random.PRNGKey(1), x, mask, t, objs, cats, text)
+
+    ref = m_ref.apply(v, mask, objs, cats, text,
+                      method=SceneDiffusionModel.encode_conditioning)
+    out = m_f.apply(v, mask, objs, cats, text,
+                    method=SceneDiffusionModel.encode_conditioning)
+    np.testing.assert_allclose(np.asarray(out.cond_pcd),
+                               np.asarray(ref.cond_pcd),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.enc_text),
+                               np.asarray(ref.enc_text), atol=1e-6)

@@ -184,7 +184,22 @@ def case_fps():
     return ok
 
 
+def case_attn():
+    from lsdm_tpu.ops.attn_pallas import rank1_mha_pallas
+
+    ok = True
+    # pcd_attention flagship shapes: B*O=9, L=S=1024, H=12; plus bf16
+    for cdt in (jnp.float32, jnp.bfloat16):
+        ok &= _export_tpu(
+            f"rank1_mha_pallas (B9 L1024 H12, {jnp.dtype(cdt).name})",
+            lambda a, b, c: rank1_mha_pallas(a, b, c, compute_dtype=cdt),
+            jnp.zeros((9, 1024, 12)), jnp.zeros((9, 1024, 12)),
+            jnp.zeros((9, 1024, 12)))
+    return ok
+
+
 CASES = {
+    "attn": case_attn,
     "ballquery": case_ballquery,
     "chamfer": case_chamfer,
     "denoise": case_denoise,
