@@ -90,8 +90,14 @@ def _sa_kernel(q_ref, xt_ref, xx_ref, z1_ref, w1x_ref, *wb_refs,
     cand = jnp.where(d <= radius2, iota, n_points)
     first = jnp.min(cand, axis=-1, keepdims=True)   # first in-radius index
     # fully-empty rows gather point 0, like the clamped XLA paths (cannot
-    # happen in-model: every query center is itself one of the points)
-    first_oh = jnp.where(first == n_points, iota == 0, cand == first)
+    # happen in-model: every query center is itself one of the points).
+    # The one-hot masks are built as f32, never as bool vectors: selecting
+    # between i1 vectors lowers to an arith.trunci i8->i1 that the real
+    # libtpu AOT compiler rejects ("Unsupported target bitwidth for
+    # truncation") even though the jax.export Mosaic pipeline accepts it.
+    first_oh = jnp.where(first == n_points,
+                         (iota == 0).astype(jnp.float32),
+                         (cand == first).astype(jnp.float32))
     cur = jnp.where(cand == first, n_points, cand)
 
     acc = None
@@ -101,7 +107,8 @@ def _sa_kernel(q_ref, xt_ref, xx_ref, z1_ref, w1x_ref, *wb_refs,
             nxt = jnp.min(cur, axis=-1, keepdims=True)
             # empty slots repeat the first in-radius index (reference
             # quirk, pointnet2_utils.py:101-103)
-            oh = jnp.where(nxt == n_points, first_oh, cur == nxt)
+            oh = jnp.where(nxt == n_points, first_oh,
+                           (cur == nxt).astype(jnp.float32))
             cur = jnp.where(cur == nxt, n_points, cur)
         g = jax.lax.dot_general(                    # == Z1[idx_k]
             oh.astype(cdt), z1,
