@@ -76,11 +76,13 @@ def main():
                     help="pre-generate per-step noise outside the scan "
                          "(same fold_in keys; hoists threefry out of the "
                          "body)")
-    ap.add_argument("--fused_step", nargs="?", const="step", default=None,
-                    choices=["step", "chain"],
+    ap.add_argument("--fused_step", nargs="?", const="step", default="auto",
+                    choices=["auto", "step", "chain", "none"],
                     help="Pallas-fused sampling: 'step' = per-step tail as "
                          "one kernel; 'chain' = the WHOLE T-step loop as "
-                         "one kernel launch (ops/denoise_pallas.py)")
+                         "one kernel launch (ops/denoise_pallas.py); "
+                         "'auto' (default) = 'chain' on TPU, composed on "
+                         "CPU; 'none' = force the composed scan")
     ap.add_argument("--scan_scenes", type=int, default=None,
                     help="sample K scenes sequentially inside ONE compiled "
                          "program (lax.scan over keys) — sustained device "
@@ -136,9 +138,18 @@ def main():
     from lsdm_tpu.config import SDMConfig
     from lsdm_tpu.diffusion import make_schedule, p_sample_loop
     from lsdm_tpu.diffusion.sampler import p_sample_step
+    from lsdm_tpu.models.sampling import resolve_fast_path
     from lsdm_tpu.models.sdm import SceneDiffusionModel
 
     import dataclasses
+
+    # Round-4 default promotion: on TPU, "auto" resolves to the
+    # measured-best eval program — fully-fused encode + whole-loop chain
+    # kernel (41.3 ms vs 50-57 ms composed at the flagship config; on-chip
+    # composed-vs-fused equivalence recorded in PERF.md round 4 via
+    # tools/onchip_equiv.py).  On CPU the composed path is kept.
+    args.ball_impl, args.fused_step = resolve_fast_path(
+        args.ball_impl, args.fused_step)
 
     if args.smoke:
         cfg = SDMConfig(
@@ -172,8 +183,16 @@ def main():
                            objs[:1], cats[:1], text[:1])
     schedule = make_schedule("cosine", T)
 
+    # The host-stepped baseline models the REFERENCE's execution (one full
+    # composed forward per step) — it must not pick up our fused kernels,
+    # both for faithfulness and so its cached program hash survives the
+    # round-4 default flip.  Same variables; param trees are identical.
+    model_composed = SceneDiffusionModel(
+        dataclasses.replace(cfg, ball_impl="auto"))
+
     def model_fn(x_t, tt):
-        return model.apply(variables, x_t, mask, tt, objs, cats, text)
+        return model_composed.apply(variables, x_t, mask, tt, objs, cats,
+                                    text)
 
     # ---- ours: conditioning encoded once + one scanned loop (the
     # production sampling path, lsdm_tpu.models.sampling.sample_sdm).

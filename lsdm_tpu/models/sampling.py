@@ -19,6 +19,36 @@ from lsdm_tpu.diffusion.sampler import ddim_sample_loop, p_sample_loop
 from lsdm_tpu.models.sdm import DenoiserOutput, SceneDiffusionModel
 
 
+def resolve_fast_path(ball_impl: str = "auto", fused_step=None):
+    """Resolve the eval-time fast-path defaults (round 4 promotion).
+
+    On a real TPU backend, ``"auto"`` resolves to the measured-best eval
+    program: the fully-fused conditioning encode (``ball_impl="fused"`` —
+    SA/FP stage kernels, FPS, rank-1 attention) plus the whole-loop chain
+    denoise kernel (``fused_step="chain"``) — 41.3 ms / 24,223 steps/s vs
+    50-57 ms composed at the flagship batch-1 config, with the on-chip
+    composed-vs-fused equivalence recorded in PERF.md round 4.  On CPU the
+    composed path is kept: the fused kernels would run in the Pallas
+    interpreter, orders of magnitude slower.  Training and sharded-object
+    contexts fall back to composed formulations inside the model
+    (``models/sdm.py``) regardless of these values, so callers may resolve
+    unconditionally for eval entry points.
+
+    ``fused_step`` accepts ``None``/"auto" (resolve), "none" (force the
+    composed scan), or an explicit mode ("step"/"chain", passed through).
+    """
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    if ball_impl == "auto" and on_tpu:
+        ball_impl = "fused"
+    if fused_step in (None, "auto"):
+        fused_step = "chain" if on_tpu else None
+    elif fused_step == "none":
+        fused_step = None
+    return ball_impl, fused_step
+
+
 def sample_sdm(
     model: SceneDiffusionModel,
     variables,

@@ -28,8 +28,11 @@ def main():
     ap.add_argument("--use_ddim", action="store_true")
     ap.add_argument("--timestep_respacing", default="")
     ap.add_argument("--diffusion_steps", type=int, default=1000)
-    ap.add_argument("--text_encoder", default="HASH",
-                    choices=["CLIP", "BERT", "HASH"])
+    ap.add_argument("--text_encoder", default="auto",
+                    choices=["auto", "CLIP", "BERT", "HASH"],
+                    help="'auto' (default) = CLIP when a BPE merges source "
+                         "exists (vendored asset / $LSDM_TPU_CLIP_BPE / HF "
+                         "cache; see tools/vendor_clip_bpe.py), else HASH")
     ap.add_argument("--bpe_path", default=None)
     ap.add_argument("--clip_weights", default=None,
                     help="torch CLIP .pt/.bin to convert for the text tower "
@@ -37,11 +40,13 @@ def main():
     ap.add_argument("--platform", default=None, help="force a jax platform")
     ap.add_argument("--pcd_points", type=int, default=None,
                     help="override cloud size (e.g. tiny smoke runs)")
-    ap.add_argument("--fused_step", nargs="?", const="step", default=None,
-                    choices=["step", "chain"],
+    ap.add_argument("--fused_step", nargs="?", const="step", default="auto",
+                    choices=["auto", "step", "chain", "none"],
                     help="sample with the denoise tail Pallas-fused: 'step' "
                          "= one kernel per step, 'chain' = whole loop as "
-                         "one kernel (ops/denoise_pallas.py)")
+                         "one kernel (ops/denoise_pallas.py); 'auto' "
+                         "(default) = 'chain' on TPU, composed on CPU; "
+                         "'none' = force the composed scan")
     ap.add_argument("--cond_chunk", type=int, default=None,
                     help="encode conditioning in batch chunks (memory cap, "
                          "models/sampling.py)")
@@ -88,6 +93,12 @@ def main():
             model_cfg, pcd_points=args.pcd_points,
             vert_dims=min(model_cfg.vert_dims, args.pcd_points),
         )
+    # round-4 default promotion: "auto" resolves to the fused eval path on
+    # TPU (on-chip equivalence in PERF.md round 4), composed on CPU
+    from lsdm_tpu.models.sampling import resolve_fast_path
+
+    args.ball_impl, args.fused_step = resolve_fast_path(
+        args.ball_impl, args.fused_step)
     model_cfg = dataclasses.replace(model_cfg, ball_impl=args.ball_impl,
                                     gather_bwd=args.gather_bwd)
     ds_cls = ProxDatasetTxt if args.datatype == "proxd" else Humanise
@@ -117,6 +128,10 @@ def main():
             {k: v.detach().cpu().numpy() for k, v in _sd.items()}
         )
         print(f"converted CLIP text tower: {args.clip_weights}")
+    from lsdm_tpu.models.text import resolve_text_encoder
+
+    args.text_encoder = resolve_text_encoder(args.text_encoder,
+                                             args.bpe_path)
     text_encoder = TextEncoder(
         args.text_encoder, dim=model_cfg.clip_dim, bpe_path=args.bpe_path,
         params=clip_params,
