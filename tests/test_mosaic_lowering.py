@@ -26,3 +26,49 @@ def test_mosaic_lowering(family):
          "--only", family],
         capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, f"{family}:\n{r.stdout}\n{r.stderr}"
+
+
+def test_i1_vector_lint_flags_prefix_sa_pattern():
+    """Retroactive pin for the round-3 false negative (VERDICT r03 item 4).
+
+    ``jax.export``'s Mosaic pipeline ACCEPTED the pre-6b38000
+    ``sa_fused_pallas`` one-hot build (a select between two bool vectors)
+    that the real libtpu AOT compiler rejected with "Unsupported target
+    bitwidth for truncation".  ``verify_mosaic.lint_i1_vectors`` must flag
+    exactly that pattern — reproduced here as a minimal kernel — while
+    passing the shipped (f32 one-hot) formulation.
+    """
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax import export
+    from jax.experimental import pallas as pl
+
+    from verify_mosaic import lint_i1_vectors
+
+    def prefix_style(x_ref, o_ref):  # pre-fix: bool-vector select
+        iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        cand = jnp.where(x_ref[...] > 0, iota, 128)
+        first = jnp.min(cand, axis=-1, keepdims=True)
+        oh = jnp.where(first == 128, iota == 0, cand == first)
+        o_ref[...] = oh.astype(jnp.float32)
+
+    def fixed_style(x_ref, o_ref):  # shipped: one-hots built as f32
+        iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        cand = jnp.where(x_ref[...] > 0, iota, 128)
+        first = jnp.min(cand, axis=-1, keepdims=True)
+        oh = jnp.where(first == 128, (iota == 0).astype(jnp.float32),
+                       (cand == first).astype(jnp.float32))
+        o_ref[...] = oh
+
+    def export_text(kern):
+        f = pl.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32))
+        return export.export(jax.jit(f), platforms=["tpu"])(
+            jnp.ones((8, 128))).mlir_module()
+
+    bad = lint_i1_vectors(export_text(prefix_style))
+    assert bad and any("select" in line for line in bad), bad
+    assert lint_i1_vectors(export_text(fixed_style)) == []

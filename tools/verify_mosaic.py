@@ -15,13 +15,31 @@ kernel:
 
 Shapes mirror the flagship ``sdm_proxd`` config (pcd_points=1024,
 latent=128 -> e2 width 256) — lowering legality depends only on
-shapes/dtypes, so weights are synthetic.
+shapes/dtypes, so weights are synthetic.  Both driver-relevant flagship
+points are covered: batch-1 fp32 (B*objs=9) and batch-8 bf16 (B*objs=72).
+
+KNOWN FALSE-NEGATIVE CLASS + its lint (round 4, VERDICT r03 item 4):
+``jax.export``'s Mosaic pipeline ACCEPTS i1-vector value ops (e.g. a
+``select`` between two bool vectors) that the real libtpu AOT compiler
+REJECTS at compile time with "Unsupported target bitwidth for truncation"
+(an ``arith.trunci`` i8->i1 materialization) — this burned a TPU queue
+slot in round 3 (``ops/sa_fused_pallas.py:94`` pre-6b38000, the one-hot
+masks built as bool instead of f32).  Export acceptance alone is
+therefore NOT sufficient.  ``_export_tpu`` now additionally decodes every
+exported ``tpu_custom_call`` Mosaic body (MLIR bytecode, round-tripped to
+text via jaxlib's MLIR parser) and FAILS on any non-comparison op that
+*produces* an i1 vector: cmpi/cmpf -> i1 consumed as a select condition
+is the supported idiom; everything else (select-of-bools, trunci-to-i1,
+bool arithmetic) is the rejected class.  The pre-fix round-3 kernel is
+flagged retroactively (``tests/test_mosaic_lowering.py``).
 """
 
 from __future__ import annotations
 
 import argparse
+import base64
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -33,12 +51,44 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 from jax import export  # noqa: E402
 
+_MOSAIC_BODY_RE = re.compile(r"22body.22: .22([A-Za-z0-9+/=]{100,})")
+_I1_RESULT_RE = re.compile(r"-> vector<[0-9x]+xi1>")
+
+
+def lint_i1_vectors(stablehlo_text: str) -> list:
+    """Return offending Mosaic lines: non-cmp ops producing i1 vectors.
+
+    The Mosaic kernel modules ride inside ``tpu_custom_call`` backend
+    configs as base64 MLIR bytecode; bytecode parses fine with
+    unregistered dialects (ops appear as ``stable_mosaic.arith.*``).
+    """
+    from jaxlib.mlir.ir import Context, Module
+
+    bad = []
+    for b64 in _MOSAIC_BODY_RE.findall(stablehlo_text):
+        ctx = Context()
+        ctx.allow_unregistered_dialects = True
+        text = str(Module.parse(base64.b64decode(b64), ctx))
+        for line in text.splitlines():
+            if (_I1_RESULT_RE.search(line) and "cmpi" not in line
+                    and "cmpf" not in line):
+                bad.append(line.strip())
+    return bad
+
 
 def _export_tpu(name: str, fn, *args) -> bool:
     try:
-        export.export(jax.jit(fn), platforms=["tpu"])(*args)
+        exp = export.export(jax.jit(fn), platforms=["tpu"])(*args)
+        bad = lint_i1_vectors(exp.mlir_module())
     except Exception as e:  # noqa: BLE001 — report and keep scanning
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:2000]}")
+        return False
+    if bad:
+        print(f"FAIL {name}: i1-vector value ops (libtpu rejects these "
+              f"with 'Unsupported target bitwidth for truncation' even "
+              f"though jax.export accepts them):")
+        for line in bad[:8]:
+            print(f"     {line[:160]}")
         return False
     print(f"ok   {name}")
     return True
@@ -110,6 +160,17 @@ def case_denoise():
         lambda a, b, c, d, e: fused_denoise_chain(a, b, c, d, e, p),
         x, jnp.zeros((B, T, N, 3)), x, jnp.zeros((B, T, D2)),
         jnp.zeros((T, 3)))
+    # the two driver-relevant flagship points at the REAL T (the (T, 3)
+    # SMEM coefficient table's legality depends on T — the round-3
+    # verify run caught an illegal (1, 3) per-step tiling exactly here)
+    for Bf, T, cdt in ((1, 1000, jnp.float32), (8, 1000, jnp.bfloat16)):
+        xf = jnp.zeros((Bf, N, 3))
+        ok &= _export_tpu(
+            f"fused_denoise_chain (B{Bf} T{T} {jnp.dtype(cdt).name})",
+            lambda a, b, c, d, e: fused_denoise_chain(  # noqa: B023
+                a, b, c, d, e, p, compute_dtype=cdt),
+            xf, jnp.zeros((Bf, T, N, 3)), xf, jnp.zeros((Bf, T, D2)),
+            jnp.zeros((T, 3)))
     return ok
 
 
@@ -120,23 +181,26 @@ def case_sa():
     # the four real PointNet2Backbone stages at flagship scale
     # (models/pointnet2.py:239-246; sa1 S==N via the FPS-identity shortcut,
     # Cin = 3 + previous stage's feature width); plus a bf16 pass
-    for name, N, S, Cin, mlp, cdt in (
-        ("sa1", 1024, 1024, 6, (32, 32, 64), jnp.float32),
-        ("sa2", 1024, 256, 67, (64, 64, 128), jnp.float32),
-        ("sa3", 256, 64, 131, (128, 128, 256), jnp.float32),
-        ("sa4", 64, 16, 259, (256, 256, 512), jnp.float32),
-        ("sa1 bf16", 1024, 1024, 6, (32, 32, 64), jnp.bfloat16),
+    for name, N, S, Cin, mlp, cdt, B in (
+        ("sa1", 1024, 1024, 6, (32, 32, 64), jnp.float32, 9),
+        ("sa2", 1024, 256, 67, (64, 64, 128), jnp.float32, 9),
+        ("sa3", 256, 64, 131, (128, 128, 256), jnp.float32, 9),
+        ("sa4", 64, 16, 259, (256, 256, 512), jnp.float32, 9),
+        ("sa1 bf16", 1024, 1024, 6, (32, 32, 64), jnp.bfloat16, 9),
+        # flagship batch-8 point: B*objs = 72 rides the grid's batch dim
+        ("sa1 b8 bf16", 1024, 1024, 6, (32, 32, 64), jnp.bfloat16, 72),
+        ("sa2 b8 bf16", 1024, 256, 67, (64, 64, 128), jnp.bfloat16, 72),
     ):
         folded, f_in = [], Cin
         for f in mlp:
             folded.append((jnp.zeros((f_in, f)), jnp.zeros((f,))))
             f_in = f
         ok &= _export_tpu(
-            f"sa_stage_fused ({name}: N{N} S{S} C{Cin})",
+            f"sa_stage_fused ({name}: B{B} N{N} S{S} C{Cin})",
             lambda a, b, c: sa_stage_fused(  # noqa: B023
                 0.4, 32, a, b, c, tuple(folded), compute_dtype=cdt),
-            jnp.zeros((2, N, 3)), jnp.zeros((2, S, 3)),
-            jnp.zeros((2, N, Cin)))
+            jnp.zeros((B, N, 3)), jnp.zeros((B, S, 3)),
+            jnp.zeros((B, N, Cin)))
     return ok
 
 
@@ -149,25 +213,28 @@ def case_fp():
     # coarser level's; fp1 has points1=None); plus a bf16 pass
     # fp1 carries the backbone tail (head relu + conv2 linear) as extra
     # layers in the flagship fused program (models/pointnet2.py)
-    for name, N, S, D1, D2, mlp, acts, cdt in (
-        ("fp4", 64, 16, 256, 512, (256, 256), None, jnp.float32),
-        ("fp3", 256, 64, 128, 256, (256, 256), None, jnp.float32),
-        ("fp2", 1024, 256, 64, 256, (256, 128), None, jnp.float32),
+    for name, N, S, D1, D2, mlp, acts, cdt, B in (
+        ("fp4", 64, 16, 256, 512, (256, 256), None, jnp.float32, 9),
+        ("fp3", 256, 64, 128, 256, (256, 256), None, jnp.float32, 9),
+        ("fp2", 1024, 256, 64, 256, (256, 128), None, jnp.float32, 9),
         ("fp1+tail", 1024, 1024, None, 128, (128, 128, 128, 128, 3),
-         ("relu",) * 4 + ("none",), jnp.float32),
-        ("fp2 bf16", 1024, 256, 64, 256, (256, 128), None, jnp.bfloat16),
+         ("relu",) * 4 + ("none",), jnp.float32, 9),
+        ("fp2 bf16", 1024, 256, 64, 256, (256, 128), None, jnp.bfloat16, 9),
+        # flagship batch-8 point (B*objs = 72)
+        ("fp1+tail b8 bf16", 1024, 1024, None, 128, (128, 128, 128, 128, 3),
+         ("relu",) * 4 + ("none",), jnp.bfloat16, 72),
     ):
         folded, f_in = [], (0 if D1 is None else D1) + D2
         for f in mlp:
             folded.append((jnp.zeros((f_in, f)), jnp.zeros((f,))))
             f_in = f
-        p1 = None if D1 is None else jnp.zeros((2, N, D1))
+        p1 = None if D1 is None else jnp.zeros((B, N, D1))
         ok &= _export_tpu(
-            f"fp_stage_fused ({name}: N{N} S{S})",
+            f"fp_stage_fused ({name}: B{B} N{N} S{S})",
             lambda a, b, c: fp_stage_fused(  # noqa: B023
                 a, b, p1, c, tuple(folded), acts=acts, compute_dtype=cdt),
-            jnp.zeros((2, N, 3)), jnp.zeros((2, S, 3)),
-            jnp.zeros((2, S, D2)))
+            jnp.zeros((B, N, 3)), jnp.zeros((B, S, 3)),
+            jnp.zeros((B, S, D2)))
     return ok
 
 
@@ -176,11 +243,13 @@ def case_fps():
 
     ok = True
     # the three real FPS calls (sa2/sa3/sa4; sa1 is the identity shortcut)
-    for N, P in ((1024, 256), (256, 64), (64, 16)):
-        ok &= _export_tpu(
-            f"farthest_point_sample_pallas (N{N} P{P})",
-            lambda a, b: farthest_point_sample_pallas(a, P, b),  # noqa: B023
-            jnp.zeros((2, N, 3)), jnp.zeros((2,), jnp.int32))
+    # at both flagship batch points (B*objs = 9 and 72)
+    for B in (9, 72):
+        for N, P in ((1024, 256), (256, 64), (64, 16)):
+            ok &= _export_tpu(
+                f"farthest_point_sample_pallas (B{B} N{N} P{P})",
+                lambda a, b: farthest_point_sample_pallas(a, P, b),  # noqa: B023
+                jnp.zeros((B, N, 3)), jnp.zeros((B,), jnp.int32))
     return ok
 
 
@@ -188,13 +257,14 @@ def case_attn():
     from lsdm_tpu.ops.attn_pallas import rank1_mha_pallas
 
     ok = True
-    # pcd_attention flagship shapes: B*O=9, L=S=1024, H=12; plus bf16
-    for cdt in (jnp.float32, jnp.bfloat16):
+    # pcd_attention flagship shapes: L=S=1024, H=12, at both batch points
+    # (B*O = 9 fp32 / bf16, and the batch-8 eval's 72 bf16)
+    for B, cdt in ((9, jnp.float32), (9, jnp.bfloat16), (72, jnp.bfloat16)):
         ok &= _export_tpu(
-            f"rank1_mha_pallas (B9 L1024 H12, {jnp.dtype(cdt).name})",
+            f"rank1_mha_pallas (B{B} L1024 H12, {jnp.dtype(cdt).name})",
             lambda a, b, c: rank1_mha_pallas(a, b, c, compute_dtype=cdt),
-            jnp.zeros((9, 1024, 12)), jnp.zeros((9, 1024, 12)),
-            jnp.zeros((9, 1024, 12)))
+            jnp.zeros((B, 1024, 12)), jnp.zeros((B, 1024, 12)),
+            jnp.zeros((B, 1024, 12)))
     return ok
 
 
