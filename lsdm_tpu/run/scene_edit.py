@@ -56,8 +56,10 @@ def main():
     ap.add_argument("--diffusion_steps", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--icp_tries", type=int, default=64)
-    ap.add_argument("--text_encoder", default="HASH",
-                    choices=["CLIP", "BERT", "HASH"])
+    ap.add_argument("--text_encoder", default="auto",
+                    choices=["auto", "CLIP", "BERT", "HASH"],
+                    help="'auto' = CLIP when a BPE merges source exists "
+                         "(tools/vendor_clip_bpe.py), else HASH")
     ap.add_argument("--bpe_path", default=None)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--pcd_points", type=int, default=None,
@@ -99,6 +101,10 @@ def main():
 
     schedule = make_schedule("cosine", args.diffusion_steps)
     model = SceneDiffusionModel(model_cfg)
+    from lsdm_tpu.models.text import resolve_text_encoder
+
+    args.text_encoder = resolve_text_encoder(args.text_encoder,
+                                             args.bpe_path)
     text_encoder = TextEncoder(args.text_encoder, dim=model_cfg.clip_dim,
                                bpe_path=args.bpe_path)
 

@@ -26,8 +26,10 @@ def main():
     ap.add_argument("--eval_every", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mesh", default=None, help="e.g. 4x2 = data x model axes")
-    ap.add_argument("--text_encoder", default="HASH",
-                    choices=["CLIP", "BERT", "HASH"])
+    ap.add_argument("--text_encoder", default="auto",
+                    choices=["auto", "CLIP", "BERT", "HASH"],
+                    help="'auto' = CLIP when a BPE merges source exists "
+                         "(tools/vendor_clip_bpe.py), else HASH")
     ap.add_argument("--bpe_path", default=None)
     ap.add_argument("--load_ckpt", default=None)
     ap.add_argument("--ema_rate", type=float, default=0.0,
@@ -122,6 +124,10 @@ def main():
         d, m = (int(x) for x in args.mesh.split("x"))
         mesh = make_mesh((d, m))
 
+    from lsdm_tpu.models.text import resolve_text_encoder
+
+    args.text_encoder = resolve_text_encoder(args.text_encoder,
+                                             args.bpe_path)
     text_encoder = TextEncoder(
         args.text_encoder, dim=model_cfg.clip_dim, bpe_path=args.bpe_path
     )

@@ -314,3 +314,36 @@ def test_resolve_parity_flags_auto():
     resolve_parity_flags(c)
     assert c.feature_extractor == "simple"
     assert c.torch_seq_axis_quirk is False
+
+
+def test_vendored_asset_matches_hf(tmp_path, monkeypatch):
+    """End-to-end through the VENDORED asset (VERDICT r03 item 5): vendor
+    the merges from a fake HF cache with tools/vendor_clip_bpe's library
+    entry point, then tokenize via the resolution chain with NO explicit
+    flags and match HF's CLIPTokenizer on the same table."""
+    from transformers import CLIPTokenizer
+
+    from lsdm_tpu.models import text as text_lib
+
+    _, vocab_json, merges_txt = _synthetic_bpe(tmp_path)
+    # fake HF cache holding the only copy
+    snap = (tmp_path / "hf" / "hub" / "models--openai--clip-vit-base-patch32"
+            / "snapshots" / "abc")
+    snap.mkdir(parents=True)
+    (snap / "merges.txt").write_text(merges_txt.read_text())
+    monkeypatch.delenv("LSDM_TPU_CLIP_BPE", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "hf"))
+    dest = tmp_path / "assets" / "bpe_simple_vocab_16e6.txt.gz"
+    monkeypatch.setattr(text_lib, "CLIP_BPE_ASSET", str(dest))
+
+    info = text_lib.vendor_clip_bpe(force=True)  # finds the HF copy itself
+    assert info["source"].endswith("merges.txt")
+    # the cache is now irrelevant: the asset wins the chain
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty_hf"))
+    enc = text_lib.TextEncoder("CLIP", dim=16, require_parity=True)
+    assert isinstance(enc.tokenizer, text_lib.SimpleTokenizer)
+
+    hf = CLIPTokenizer(str(vocab_json), str(merges_txt))
+    for p in ["place the chair on the table", "chairs, tables!"]:
+        assert enc.tokenizer.encode(p) == hf(
+            p, add_special_tokens=False)["input_ids"]

@@ -113,3 +113,98 @@ def test_text_encoder_bert_fallback_flagged():
 
     with pytest.raises(RuntimeError, match="bert-base-uncased"):
         TextEncoder("BERT", dim=32, require_parity=True)
+
+
+# ---------------------------------------------------------------------------
+# BPE asset vendoring (VERDICT r03 item 5)
+
+
+def _write_merges_txt(path, merges):
+    path.write_text("#version: test\n"
+                    + "\n".join(" ".join(m) for m in merges) + "\n")
+
+
+_TOY_MERGES = [("t", "h"), ("th", "e</w>"), ("c", "h"), ("ch", "a"),
+               ("cha", "i"), ("chai", "r</w>")]
+
+
+def test_vendor_clip_bpe_refuses_truncated_then_forces(tmp_path, monkeypatch):
+    from lsdm_tpu.models import text as text_lib
+
+    monkeypatch.delenv("LSDM_TPU_CLIP_BPE", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty_hf"))
+    dest = tmp_path / "assets" / "bpe_simple_vocab_16e6.txt.gz"
+    monkeypatch.setattr(text_lib, "CLIP_BPE_ASSET", str(dest))
+
+    src = tmp_path / "merges.txt"
+    _write_merges_txt(src, _TOY_MERGES)
+    # non-canonical merge count -> refuse without force
+    with pytest.raises(ValueError, match="canonical"):
+        text_lib.vendor_clip_bpe(str(src))
+    info = text_lib.vendor_clip_bpe(str(src), force=True)
+    assert info["parity_grade"] is False and info["merges"] == len(_TOY_MERGES)
+    assert dest.exists() and (tmp_path / "assets"
+                              / (dest.name + ".sha256")).exists()
+    # the resolution chain now finds the vendored asset with no flags
+    assert text_lib.resolve_clip_bpe(None) == str(dest)
+    # and it tokenizes identically to the original source
+    a = text_lib.SimpleTokenizer(str(src))
+    b = text_lib.SimpleTokenizer(str(dest))
+    assert a.encode("the chair") == b.encode("the chair")
+
+
+def test_vendor_canonical_count_is_parity_grade(tmp_path, monkeypatch):
+    from lsdm_tpu.models import text as text_lib
+
+    monkeypatch.delenv("LSDM_TPU_CLIP_BPE", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty_hf"))
+    dest = tmp_path / "assets" / "bpe_simple_vocab_16e6.txt.gz"
+    monkeypatch.setattr(text_lib, "CLIP_BPE_ASSET", str(dest))
+
+    # synthetic table with the canonical count: unique pair per line
+    merges = [(f"a{i}", f"b{i}") for i in
+              range(text_lib.CLIP_CANONICAL_MERGES)]
+    src = tmp_path / "merges.txt"
+    _write_merges_txt(src, merges)
+    info = text_lib.vendor_clip_bpe(str(src))  # no force needed
+    assert info["parity_grade"] is True
+    assert info["merges"] == text_lib.CLIP_CANONICAL_MERGES
+
+
+def test_vendored_asset_hash_pin_detects_corruption(tmp_path, monkeypatch):
+    import gzip
+
+    from lsdm_tpu.models import text as text_lib
+
+    monkeypatch.delenv("LSDM_TPU_CLIP_BPE", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty_hf"))
+    dest = tmp_path / "assets" / "bpe_simple_vocab_16e6.txt.gz"
+    monkeypatch.setattr(text_lib, "CLIP_BPE_ASSET", str(dest))
+
+    src = tmp_path / "merges.txt"
+    _write_merges_txt(src, _TOY_MERGES)
+    text_lib.vendor_clip_bpe(str(src), force=True)
+    assert text_lib.resolve_clip_bpe(None) == str(dest)  # hash ok
+    with gzip.open(dest, "wb") as f:  # swap content, keep the sidecar
+        f.write(b"#version: tampered\nx y\n")
+    with pytest.raises(RuntimeError, match="pinned"):
+        text_lib.resolve_clip_bpe(None)
+
+
+def test_resolve_text_encoder_auto(tmp_path, monkeypatch):
+    from lsdm_tpu.models import text as text_lib
+
+    monkeypatch.delenv("LSDM_TPU_CLIP_BPE", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty_hf"))
+    monkeypatch.setattr(text_lib, "CLIP_BPE_ASSET",
+                        str(tmp_path / "no_asset.gz"))
+    # no source anywhere -> offline hash fallback
+    assert text_lib.resolve_text_encoder("auto") == "HASH"
+    # explicit choices pass through even with no source
+    assert text_lib.resolve_text_encoder("HASH") == "HASH"
+    assert text_lib.resolve_text_encoder("CLIP") == "CLIP"
+    # a source appears (env var) -> auto resolves to CLIP
+    src = tmp_path / "merges.txt"
+    _write_merges_txt(src, _TOY_MERGES)
+    monkeypatch.setenv("LSDM_TPU_CLIP_BPE", str(src))
+    assert text_lib.resolve_text_encoder("auto") == "CLIP"
