@@ -192,3 +192,52 @@ def test_midsize_partitioning_no_giant_allgather(monkeypatch):
     assert worst < 8e6, f"giant all-gather reappeared: {worst / 1e6:.0f} MB"
     new_state, metrics = step(*args)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_midsize_sampling_partitioning_no_giant_allgather():
+    """Eval-path analogue of the train-step pin above (VERDICT r03 item 6):
+    the scanned sampler with the object axis sharded must partition cleanly.
+    Two things are under test: (a) the ``select_impl`` flip at
+    models/sdm.py:116-136 picks the partition-clean topk_p/spmd neighbour
+    selection exactly when ``obj_sharding`` is set, and (b) a config asking
+    for the FUSED eval kernels (which have no SPMD rule and would force
+    replication) falls back to the composed formulations under sharding —
+    so the cfg here deliberately sets ball_impl="fused"."""
+    import re
+
+    from lsdm_tpu.models.sampling import sample_sdm
+
+    cfg = SDMConfig(clip_dim=64, latent_dim=64, cat_emb=16, n_head=4,
+                    vert_dims=128, pcd_points=256, ball_impl="fused")
+    mesh = mesh_lib.make_mesh((4, 2))
+    model = SceneDiffusionModel(cfg, obj_sharding=mesh_lib.obj_sharding(mesh))
+    schedule = make_schedule("cosine", 8)
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    Bm, Nm = 8, cfg.pcd_points
+    mask = jnp.zeros((Bm, O)).at[:, 1:4].set(1.0)
+    objs = jax.random.normal(ks[1], (Bm, O, Nm, 3))
+    cats = jax.nn.one_hot(jax.random.randint(ks[2], (Bm, O), 0, 13), 13)
+    text = jax.random.normal(ks[3], (Bm, cfg.clip_dim))
+    variables = model.init(jax.random.PRNGKey(1),
+                           jax.random.normal(ks[0], (Bm, Nm, 3)), mask,
+                           jnp.zeros((Bm,), jnp.int32), objs, cats, text)
+    variables = jax.device_put(variables, mesh_lib.replicated(mesh))
+    put = lambda a: jax.device_put(a, mesh_lib.batch_sharding(mesh, a.ndim))
+
+    def run(m, o, c, t):
+        s, last = sample_sdm(model, variables, schedule, m, o, c, t,
+                             jax.random.PRNGKey(11), clip_denoised=False)
+        return s, last.cat
+
+    args = (put(mask), put(objs), put(cats), put(text))
+    compiled = jax.jit(run).lower(*args).compile()
+    worst = 0
+    for m in re.finditer(r"all-gather[^\n]*?= \w+\[([\d,]+)\]",
+                         compiled.as_text()):
+        size = 4 * int(np.prod([int(d) for d in m.group(1).split(",")]))
+        worst = max(worst, size)
+    # the (B*O, S, N) fp32 distance tensor at this config is 18.9 MB; the
+    # legitimate all-gathers (un-shard of backbone outputs) are KB-scale
+    assert worst < 8e6, f"giant all-gather in the sampler: {worst / 1e6:.0f} MB"
+    s, cat = compiled(*args)
+    assert np.isfinite(np.asarray(s)).all()
