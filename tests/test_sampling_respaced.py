@@ -106,3 +106,20 @@ def test_precomputed_emb_table_bit_equality():
                       precompute_emb=True)
     np.testing.assert_allclose(np.asarray(c), np.asarray(d), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_resolve_fast_path_cpu_semantics():
+    """Round-4 default promotion (PERF.md): on a CPU backend 'auto' keeps
+    the composed path (fused kernels would hit the Pallas interpreter);
+    explicit choices pass through; 'none' forces the composed scan.  The
+    TPU side of the resolution ('auto' -> fused+chain) is exercised by
+    the driver bench and pinned by the on-chip equivalence protocol
+    (tools/onchip_equiv.py)."""
+    from lsdm_tpu.models.sampling import resolve_fast_path
+
+    assert jax.default_backend() == "cpu"  # conftest pins cpu
+    assert resolve_fast_path("auto", "auto") == ("auto", None)
+    assert resolve_fast_path("auto", None) == ("auto", None)
+    assert resolve_fast_path("fused", "chain") == ("fused", "chain")
+    assert resolve_fast_path("topk", "none") == ("topk", None)
+    assert resolve_fast_path("fused", "step") == ("fused", "step")
