@@ -225,6 +225,12 @@ class PointNetFeaturePropagation(nn.Module):
             impl = (("pallas" if self.nn_impl == "fused" else self.nn_impl)
                     if self.nn_impl != "auto"
                     else ("topk_p" if self.select_impl == "spmd" else "topk"))
+            if impl == "pallas" and train:
+                # the 3-NN kernel emits the inverse-distance WEIGHTS,
+                # which are differentiable in the reference's training
+                # graph (gradients flow coords->weights->features); the
+                # kernel has no VJP, so training keeps the composed path
+                impl = "topk"
             interpolated = three_nn_interpolate(xyz1, xyz2, points2,
                                                 impl=impl)
         if points1 is not None:

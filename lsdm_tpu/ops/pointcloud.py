@@ -240,8 +240,10 @@ def farthest_point_sample(
         farthest0 = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
     if impl == "pallas":
         from lsdm_tpu.ops.fps_pallas import farthest_point_sample_pallas
+        # integer indices: non-differentiable by construction; stop the
+        # gradient so the VJP-less kernel works inside a train step
         return farthest_point_sample_pallas(
-            xyz, npoint, farthest0,
+            jax.lax.stop_gradient(xyz), npoint, farthest0,
             interpret=jax.default_backend() == "cpu")
 
     def body(carry, _):
@@ -312,8 +314,15 @@ def query_ball_point(
             impl = "topk"  # query-block rows must tile the sublane dim
         else:
             from lsdm_tpu.ops.ballquery_pallas import query_ball_point_pallas
+            # indices are non-differentiable in EVERY formulation (the
+            # topk path's integer outputs carry no gradient either), but
+            # pallas_call has no autodiff rule at all — stop_gradient on
+            # the inputs makes the kernel usable inside a differentiated
+            # training step (round 4; gradients reach xyz through the
+            # gather/MLP path, exactly as with topk)
             return query_ball_point_pallas(
-                radius, min(nsample, N), xyz, new_xyz,
+                radius, min(nsample, N), jax.lax.stop_gradient(xyz),
+                jax.lax.stop_gradient(new_xyz),
                 interpret=jax.default_backend() == "cpu")
     if impl == "topk2c" and (N < 256 or N % 128):
         impl = "topk"  # hierarchy has nothing to split

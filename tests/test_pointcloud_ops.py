@@ -654,3 +654,51 @@ def test_rank1_mha_fused_matches_composed(rng):
         assert wn is None
         np.testing.assert_allclose(np.asarray(b, np.float32),
                                    np.asarray(a, np.float32), atol=tol)
+
+
+def test_pallas_selection_kernels_differentiable_in_train_graph():
+    """Round 4: the Pallas FPS/ball-query kernels emit integer indices —
+    non-differentiable in EVERY formulation — so with stop_gradient on
+    their inputs they are legal inside a differentiated train step, and
+    the gradients (which flow through the gather/MLP path) must equal the
+    topk formulation's exactly.  The 3-NN kernel is NOT train-legal (its
+    inverse-distance weights carry gradients in the reference graph) and
+    falls back to composed under train — covered at the module level
+    below."""
+    from lsdm_tpu.ops.pointcloud import (farthest_point_sample, index_points,
+                                         query_ball_point)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 3))
+
+    def loss(xyz, ball, fps):
+        fidx = farthest_point_sample(xyz, 8, impl=fps)
+        q = index_points(xyz, fidx)
+        idx = query_ball_point(0.4, 8, xyz, q, impl=ball)
+        return jnp.sum(index_points(xyz, idx) ** 2)
+
+    gp = jax.grad(lambda a: loss(a, "pallas", "pallas"))(x)
+    gt = jax.grad(lambda a: loss(a, "topk", "scan"))(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gt), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fp_module_pallas_nn_falls_back_composed_in_train():
+    """FP module with nn_impl="pallas": train must take the composed 3-NN
+    (differentiable weights) — i.e. grads exist and match nn_impl=topk."""
+    from lsdm_tpu.models.pointnet2 import PointNetFeaturePropagation
+
+    fp_p = PointNetFeaturePropagation(mlp=(8,), nn_impl="pallas")
+    fp_t = PointNetFeaturePropagation(mlp=(8,), nn_impl="topk")
+    xyz1 = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 3))
+    xyz2 = xyz1[:, :8]
+    pts2 = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 4))
+    v = fp_p.init(jax.random.PRNGKey(3), xyz1, xyz2, None, pts2, train=True)
+
+    def mod_loss(fp, p2):
+        out, _ = fp.apply(v, xyz1, xyz2, None, p2, train=True,
+                          mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(lambda p2: mod_loss(fp_p, p2))(pts2)
+    g2 = jax.grad(lambda p2: mod_loss(fp_t, p2))(pts2)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
