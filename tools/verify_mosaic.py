@@ -103,6 +103,12 @@ def case_ballquery():
     ok = _export_tpu(
         "query_ball_point_pallas (B2 N1024 S256 K32)",
         lambda a, b: query_ball_point_pallas(0.2, 32, a, b), xyz, new_xyz)
+    # training-forward shapes (round 4: the kernel is train-legal via
+    # stop_gradient): sa1 at batch 6 is B*objs=54, S==N=1024
+    ok &= _export_tpu(
+        "query_ball_point_pallas (B54 N1024 S1024 K32, train sa1)",
+        lambda a, b: query_ball_point_pallas(0.2, 32, a, b),
+        jnp.zeros((54, 1024, 3)), jnp.zeros((54, 1024, 3)))
     # FP stage 3-NN: targets = upsampled level, sources = coarse level
     ok &= _export_tpu(
         "three_nn_pallas (B2 N256 S64)",
