@@ -49,6 +49,30 @@ def resolve_fast_path(ball_impl: str = "auto", fused_step=None):
     return ball_impl, fused_step
 
 
+def resolve_train_ball_impl(ball_impl: str = "auto") -> str:
+    """Resolve the train-time ball-query default (round 4 promotion).
+
+    On a real TPU backend ``"auto"`` resolves to ``"pallas"`` — the fused
+    ball-query kernel measured fastest inside the differentiated train
+    step (13.36 steps/s vs 12.68 topk2c vs 11.58 topk at the flagship
+    batch-6 bf16 config; PERF.md "Training default (round 4)").  The
+    integer selection indices are non-differentiable in every
+    formulation, so the VJP-less kernel is train-legal behind
+    stop_gradient, with gradients pinned equal to the topk formulation's
+    (``tests/test_pointcloud_ops.py``).  ``query_ball_point`` itself
+    falls back to hierarchical/TopK formulations where the kernel's
+    tiling declines (S % 8), and sharded-object contexts override to
+    partition-clean formulations inside the model regardless.  On CPU
+    ``"auto"`` is returned unchanged: the model resolves it to the TopK
+    custom call (the Pallas kernel would run in interpret mode).
+    """
+    import jax
+
+    if ball_impl == "auto" and jax.default_backend() == "tpu":
+        return "pallas"
+    return ball_impl
+
+
 def sample_sdm(
     model: SceneDiffusionModel,
     variables,

@@ -287,7 +287,8 @@ def query_ball_point(
       (BS, N) distance block stays in VMEM and selection is nsample
       iterated row-min passes (the minimum of ``where(in_radius, iota,
       N)`` IS the next index; no sort, no HBM round-trip).  Falls back to
-      "topk" when S is not a multiple of 8.
+      "topk2c" when S is not a multiple of 8.  Train-time TPU default
+      since round 4 (resolve_train_ball_impl).
     * impl="topk2c": hierarchical selection with the distance tensor
       computed NATIVELY in chunked (B, S, N/128, 128) layout — one
       ``dot_general`` emits the chunked shape directly, so the chunk split
@@ -311,7 +312,10 @@ def query_ball_point(
     S = new_xyz.shape[1]
     if impl == "pallas":
         if S % 8:
-            impl = "topk"  # query-block rows must tile the sublane dim
+            # query-block rows must tile the sublane dim; fall to the
+            # next-fastest measured formulation (topk2c declines on its
+            # own to topk when N gives it nothing to split)
+            impl = "topk2c"
         else:
             from lsdm_tpu.ops.ballquery_pallas import query_ball_point_pallas
             # indices are non-differentiable in EVERY formulation (the

@@ -56,7 +56,9 @@ def main():
     ap.add_argument("--ball_impl", default="auto",
                     choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "fused", "scatter",
                              "binsearch"],
-                    help="ball-query formulation (PERF.md round 3)")
+                    help="ball-query formulation; 'auto' resolves to the "
+                         "fused Pallas kernel on a TPU backend — fastest "
+                         "measured train step (PERF.md round 4)")
     ap.add_argument(
         "--platform", default=None,
         help="force a jax platform (e.g. cpu); the ambient axon TPU backend "
@@ -87,9 +89,12 @@ def main():
             model_cfg, pcd_points=args.pcd_points,
             vert_dims=min(model_cfg.vert_dims, args.pcd_points),
         )
+    from lsdm_tpu.models.sampling import resolve_train_ball_impl
+
     model_cfg = dataclasses.replace(
         model_cfg, dtype=args.dtype, bn_dtype=args.bn_dtype,
-        gather_bwd=args.gather_bwd, ball_impl=args.ball_impl,
+        gather_bwd=args.gather_bwd,
+        ball_impl=resolve_train_ball_impl(args.ball_impl),
     )
     diff_cfg = DiffusionConfig(
         steps=args.diffusion_steps, noise_schedule=args.noise_schedule

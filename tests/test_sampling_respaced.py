@@ -123,3 +123,18 @@ def test_resolve_fast_path_cpu_semantics():
     assert resolve_fast_path("fused", "chain") == ("fused", "chain")
     assert resolve_fast_path("topk", "none") == ("topk", None)
     assert resolve_fast_path("fused", "step") == ("fused", "step")
+
+
+def test_resolve_train_ball_impl_cpu_semantics():
+    """Round-4 train-default promotion (PERF.md "Training default"): on a
+    CPU backend 'auto' stays 'auto' (the model resolves it to the TopK
+    custom call; the Pallas kernel would run in interpret mode), and
+    explicit choices always pass through.  The TPU side ('auto' ->
+    'pallas', 13.36 steps/s) is measured in .bench_logs/bt_pallas_bq."""
+    from lsdm_tpu.models.sampling import resolve_train_ball_impl
+
+    assert jax.default_backend() == "cpu"  # conftest pins cpu
+    assert resolve_train_ball_impl("auto") == "auto"
+    assert resolve_train_ball_impl("topk") == "topk"
+    assert resolve_train_ball_impl("pallas") == "pallas"
+    assert resolve_train_ball_impl("topk2c") == "topk2c"
