@@ -76,7 +76,10 @@ class SDMConfig:
     # (TopK custom call on one chip, the partitioned top_k "topk_p" when
     # the object axis is sharded); "topk" / "topk_p" / "topk2" / "topk2c"
     # / "pallas" / "scatter" / "binsearch" force one
-    # (ops/pointcloud.py:query_ball_point).
+    # (ops/pointcloud.py:query_ball_point); "sg" fuses ball query + gather
+    # + center-relative xyz into one train-legal Pallas kernel with a
+    # custom VJP (ops/sg_fused_pallas.py); "fused" is the eval-only
+    # whole-stage kernel family.
     ball_impl: str = "auto"
 
 

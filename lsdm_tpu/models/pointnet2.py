@@ -73,9 +73,11 @@ class PointNetSetAbstraction(nn.Module):
     # neighbour-selection formulation: "topk" is fastest on one chip,
     # "spmd" partitions cleanly on a sharded batch axis (ops/pointcloud.py)
     select_impl: str = "topk"
-    # ball-query override: "auto" follows select_impl; or force one of
-    # query_ball_point's formulations ("topk"/"topk_p"/"scatter"/
-    # "binsearch")
+    # ball-query override: "auto" follows select_impl; "sg" fuses ball
+    # query + gather + center-relative xyz into one train-legal Pallas
+    # kernel (ops/sg_fused_pallas.py, custom VJP); "fused" is the
+    # eval-only whole-stage kernel; or force one of query_ball_point's
+    # formulations ("topk"/"topk_p"/"pallas"/"scatter"/"binsearch")
     ball_impl: str = "auto"
     # "matmul": MXU one-hot backward for the grouping gather (faster than
     # XLA's serialized scatter-add at train shapes, bf16-grade grads);
@@ -100,7 +102,7 @@ class PointNetSetAbstraction(nn.Module):
         else:
             fps_idx = farthest_point_sample(
                 xyz, self.npoint, key=fps_key,
-                impl=("pallas" if self.ball_impl in ("pallas", "fused")
+                impl=("pallas" if self.ball_impl in ("pallas", "fused", "sg")
                       else "scan"))
             new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
         # nsample can exceed the available points in down-scaled test configs
@@ -132,35 +134,55 @@ class PointNetSetAbstraction(nn.Module):
                     interpret=jax.default_backend() == "cpu")
                 return new_xyz, new_points
             ball = "pallas"  # train / tiny configs: composed fallback
-        if ball == "auto":
-            # sharded context: partitioned top_k — the TopK custom call per
-            # batch shard, zero collectives (ops/pointcloud.py:topk_rows).
-            # The scatter/binsearch reformulations also partition but are
-            # 18x/26x slower on-chip (PERF.md round 3).
-            ball = "topk_p" if self.select_impl == "spmd" else "topk"
-        idx = query_ball_point(
-            self.radius, min(self.nsample, N), xyz, new_xyz, impl=ball)
-        if points is not None:
-            # ONE gather of the pre-concatenated columns instead of two:
-            # gather-then-concat == concat-then-gather, and the random-access
-            # gather (+ its scatter-add backward) is the backbone's dominant
-            # cost (PERF.md round-3 attribution).  In low-precision modes the
-            # early cast also halves the gathered bytes.
-            base = jnp.concatenate([xyz, points], axis=-1)
-            if self.dtype != jnp.float32:
-                base = base.astype(self.dtype)
-            gather = (index_points if self.gather_bwd == "scatter"
-                      else lambda p, i: index_points_mm(
-                          p, i, N,
-                          "matmul" if self.gather_bwd == "matmul_fwd"
-                          else "gather"))
-            grouped = gather(base, idx)  # (B, S, K, 3 + D)
-            center = new_xyz[:, :, None, :].astype(grouped.dtype)
-            new_points = jnp.concatenate(
-                [grouped[..., :C] - center, grouped[..., C:]], axis=-1)
-        else:
-            grouped_xyz = index_points(xyz, idx)  # (B, S, K, 3)
-            new_points = grouped_xyz - new_xyz[:, :, None, :]
+        new_points = None
+        if ball == "sg":
+            if points is not None and new_xyz.shape[1] % 8 == 0:
+                # ball query + gather + center-relative xyz as ONE kernel
+                # with a custom VJP: the selection masks double as one-hot
+                # gather matrices, so the forward gather einsum and the
+                # idx round-trip disappear; MLP/BN/maxpool (and their
+                # gradients) stay with XLA (ops/sg_fused_pallas.py)
+                from lsdm_tpu.ops.sg_fused_pallas import \
+                    select_gather_grouped
+                base = jnp.concatenate([xyz, points], axis=-1)
+                if self.dtype != jnp.float32:
+                    base = base.astype(self.dtype)
+                new_points = select_gather_grouped(
+                    self.radius, min(self.nsample, N), jnp.dtype(self.dtype),
+                    jax.default_backend() == "cpu", xyz, new_xyz, base)
+            else:
+                ball = "pallas"  # xyz-only / tiny configs: composed path
+        if new_points is None:
+            if ball == "auto":
+                # sharded context: partitioned top_k — the TopK custom call
+                # per batch shard, zero collectives (ops/pointcloud.py:
+                # topk_rows).  The scatter/binsearch reformulations also
+                # partition but are 18x/26x slower on-chip (PERF.md round 3).
+                ball = "topk_p" if self.select_impl == "spmd" else "topk"
+            idx = query_ball_point(
+                self.radius, min(self.nsample, N), xyz, new_xyz, impl=ball)
+            if points is not None:
+                # ONE gather of the pre-concatenated columns instead of two:
+                # gather-then-concat == concat-then-gather, and the random-
+                # access gather (+ its scatter-add backward) is the
+                # backbone's dominant cost (PERF.md round-3 attribution).
+                # In low-precision modes the early cast also halves the
+                # gathered bytes.
+                base = jnp.concatenate([xyz, points], axis=-1)
+                if self.dtype != jnp.float32:
+                    base = base.astype(self.dtype)
+                gather = (index_points if self.gather_bwd == "scatter"
+                          else lambda p, i: index_points_mm(
+                              p, i, N,
+                              "matmul" if self.gather_bwd == "matmul_fwd"
+                              else "gather"))
+                grouped = gather(base, idx)  # (B, S, K, 3 + D)
+                center = new_xyz[:, :, None, :].astype(grouped.dtype)
+                new_points = jnp.concatenate(
+                    [grouped[..., :C] - center, grouped[..., C:]], axis=-1)
+            else:
+                grouped_xyz = index_points(xyz, idx)  # (B, S, K, 3)
+                new_points = grouped_xyz - new_xyz[:, :, None, :]
         for i, feats in enumerate(self.mlp):
             new_points = ConvBNBlock(feats, dtype=self.dtype, bn_dtype=self.bn_dtype, name=f"mlp_{i}")(
                 new_points, train
@@ -295,6 +317,7 @@ class PointNet2Backbone(nn.Module):
         # ball_impl="pallas" extends to the FP 3-NN; "fused" runs the whole
         # FP stage as one kernel too (same kernel family)
         nn_impl = (self.ball_impl if self.ball_impl in ("pallas", "fused")
+                   else "pallas" if self.ball_impl == "sg"
                    else "auto")
         fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp4")
         fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp3")

@@ -133,7 +133,16 @@ def _index_points_mm_fwd(points, idx, n_points, fwd):
     return index_points_mm(points, idx, n_points, fwd), idx
 
 
-def _index_points_mm_bwd(n_points, fwd, idx, grad):
+def onehot_segment_sum(idx: jax.Array, grad: jax.Array,
+                       n_points: int) -> jax.Array:
+    """Segment-sum of gradient rows into their source bins as a one-hot
+    MXU contraction: out[b, n] = sum_g [idx[b, g] == n] * grad[b, g].
+
+    The shared backward of every matmul-gather formulation
+    (:func:`index_points_mm` and the fused select+gather kernel,
+    ops/sg_fused_pallas.py).  idx: (B, ...); grad: (B, ..., C) ->
+    (B, n_points, C) f32.  Chunked over the gathered-rows axis to bound
+    the transient one-hot (see the cap note in the caller below)."""
     B = idx.shape[0]
     C = grad.shape[-1]
     N = n_points
@@ -171,6 +180,11 @@ def _index_points_mm_bwd(n_points, fwd, idx, grad):
             (flat_idx.reshape(B, G // chunk, chunk).swapaxes(0, 1),
              flat_grad.reshape(B, G // chunk, chunk, C).swapaxes(0, 1)),
         )
+    return grad_points
+
+
+def _index_points_mm_bwd(n_points, fwd, idx, grad):
+    grad_points = onehot_segment_sum(idx, grad, n_points)
     return grad_points.astype(grad.dtype), None
 
 

@@ -51,7 +51,7 @@ def main():
                     help="encode conditioning in batch chunks (memory cap, "
                          "models/sampling.py)")
     ap.add_argument("--ball_impl", default="auto",
-                    choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "fused", "scatter",
+                    choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "fused", "sg", "scatter",
                              "binsearch"],
                     help="ball-query formulation (PERF.md round 3); all "
                          "choices produce identical indices")

@@ -54,7 +54,7 @@ def main():
                          "contractions — fastest measured; 'scatter' is the "
                          "bit-exact eval formulation (PERF.md round 3)")
     ap.add_argument("--ball_impl", default="auto",
-                    choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "fused", "scatter",
+                    choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "fused", "sg", "scatter",
                              "binsearch"],
                     help="ball-query formulation; 'auto' resolves to the "
                          "fused Pallas kernel on a TPU backend — fastest "

@@ -42,7 +42,7 @@ def main():
                          "one-hot MXU contraction; matmul_fwd also runs "
                          "the forward on the MXU (PERF.md round 3)")
     ap.add_argument("--ball_impl", default="auto",
-                    choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "fused", "scatter",
+                    choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "fused", "sg", "scatter",
                              "binsearch"],
                     help="ball-query formulation (PERF.md round 3)")
     ap.add_argument("--ablate", default=None,

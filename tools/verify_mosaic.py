@@ -244,6 +244,40 @@ def case_fp():
     return ok
 
 
+def case_sg():
+    from lsdm_tpu.ops.sg_fused_pallas import select_gather_grouped
+
+    ok = True
+    # the four real SA stages at flagship TRAIN scale (batch 6 ->
+    # B*objs = 54; ball_impl="sg" is the train-path kernel) in both
+    # compute dtypes; the grad export additionally lowers the whole
+    # custom-VJP program (kernel + XLA one-hot segment-sum backward)
+    for name, N, S, Cin in (
+        ("sa1", 1024, 1024, 6),
+        ("sa2", 1024, 256, 67),
+        ("sa3", 256, 64, 131),
+        ("sa4", 64, 16, 259),
+    ):
+        for cdt in (jnp.float32, jnp.bfloat16):
+            dt = jnp.dtype(cdt).name
+            xyz = jnp.zeros((54, N, 3))
+            q = jnp.zeros((54, S, 3))
+            base = jnp.zeros((54, N, Cin), cdt)
+            ok &= _export_tpu(
+                f"select_gather_grouped ({name}: B54 N{N} S{S} C{Cin} {dt})",
+                lambda a, b, c: select_gather_grouped(  # noqa: B023
+                    0.4, 32, cdt, False, a, b, c),
+                xyz, q, base)
+        ok &= _export_tpu(
+            f"select_gather_grouped grad ({name})",
+            jax.grad(lambda a, b, c: jnp.sum(  # noqa: B023
+                select_gather_grouped(0.4, 32, jnp.float32, False, a, b, c)
+                .astype(jnp.float32) ** 2), argnums=(1, 2)),
+            jnp.zeros((54, N, 3)), jnp.zeros((54, S, 3)),
+            jnp.zeros((54, N, Cin)))
+    return ok
+
+
 def case_fps():
     from lsdm_tpu.ops.fps_pallas import farthest_point_sample_pallas
 
@@ -282,6 +316,7 @@ CASES = {
     "fp": case_fp,
     "fps": case_fps,
     "sa": case_sa,
+    "sg": case_sg,
 }
 
 
