@@ -247,14 +247,15 @@ class PointNetFeaturePropagation(nn.Module):
             impl = (("pallas" if self.nn_impl == "fused" else self.nn_impl)
                     if self.nn_impl != "auto"
                     else ("topk_p" if self.select_impl == "spmd" else "topk"))
-            if impl == "pallas" and train:
-                # the 3-NN kernel emits the inverse-distance WEIGHTS,
-                # which are differentiable in the reference's training
-                # graph (gradients flow coords->weights->features); the
-                # kernel has no VJP, so training keeps the composed path
-                impl = "topk"
+            # under train the inverse-distance WEIGHTS carry gradients in
+            # the reference graph; the VJP-less kernel still works because
+            # gradients flow only through the selected distance VALUES at
+            # fixed indices — diff_weights recomputes those k distances
+            # differentiably outside the kernel (round 4,
+            # ops/pointcloud.py:three_nn_interpolate)
             interpolated = three_nn_interpolate(xyz1, xyz2, points2,
-                                                impl=impl)
+                                                impl=impl,
+                                                diff_weights=train)
         if points1 is not None:
             new_points = jnp.concatenate([points1, interpolated], axis=-1)
         else:

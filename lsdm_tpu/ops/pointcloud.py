@@ -615,7 +615,7 @@ def knn(x: jax.Array, k: int, impl: str = "topk") -> jax.Array:
 
 def three_nn_interpolate(
     xyz1: jax.Array, xyz2: jax.Array, points2: jax.Array, eps: float = 1e-8,
-    impl: str = "topk",
+    impl: str = "topk", diff_weights: bool = False,
 ) -> jax.Array:
     """Inverse-distance-weighted 3-NN feature interpolation.
 
@@ -626,6 +626,18 @@ def three_nn_interpolate(
     ``impl`` as in :func:`query_ball_point`: "topk" for single-chip speed,
     "argmin" (:func:`smallest_k`) under a sharded batch axis.
 
+    ``diff_weights``: make the "pallas" path train-legal (round 4).  The
+    kernel has no VJP, but the reference training graph's gradients flow
+    ONLY through the selected distance VALUES at fixed indices (top_k's
+    backward scatters cotangents of the k selected entries — the
+    selection permutation itself is a constant of the linearization).
+    So: indices from the kernel under stop_gradient, then the k
+    distances are recomputed differentiably as ``||x1 - x2[idx]||^2`` —
+    mathematically the same values and the same gradient chain as the
+    composed formulation, without ever materializing the (B, N, S)
+    distance tensor.  Pinned against the composed gradients in
+    tests/test_pointcloud_ops.py.
+
     xyz1: (B, N, 3); xyz2: (B, S, 3); points2: (B, S, C) -> (B, N, C).
     """
     k = min(3, xyz2.shape[1])  # reference always has S>=16; tiny configs don't
@@ -633,7 +645,17 @@ def three_nn_interpolate(
         # fused distances + k min-passes in VMEM (ops/ballquery_pallas.py)
         from lsdm_tpu.ops.ballquery_pallas import three_nn_pallas
         dists, idx = three_nn_pallas(
-            xyz1, xyz2, k, interpret=jax.default_backend() == "cpu")
+            jax.lax.stop_gradient(xyz1), jax.lax.stop_gradient(xyz2), k,
+            interpret=jax.default_backend() == "cpu")
+        if diff_weights:
+            # differentiable recompute at the fixed indices; the direct
+            # squared-difference form avoids the |x|^2+|y|^2-2xy
+            # cancellation entirely (it is MORE accurate than the
+            # HIGHEST-precision expansion the composed path needs)
+            nb = index_points(xyz2, idx)  # (B, N, k, 3)
+            dists = jnp.sum(
+                (xyz1[:, :, None, :].astype(jnp.float32)
+                 - nb.astype(jnp.float32)) ** 2, axis=-1)
         dist_recip = 1.0 / (dists + eps)
         norm = jnp.sum(dist_recip, axis=2, keepdims=True)
         weight = dist_recip / norm

@@ -683,8 +683,12 @@ def test_pallas_selection_kernels_differentiable_in_train_graph():
 
 @pytest.mark.slow
 def test_fp_module_pallas_nn_falls_back_composed_in_train():
-    """FP module with nn_impl="pallas": train must take the composed 3-NN
-    (differentiable weights) — i.e. grads exist and match nn_impl=topk."""
+    """FP module with nn_impl="pallas" under train: the kernel supplies
+    the indices and the k distances are recomputed differentiably at
+    those fixed indices (diff_weights, round 4) — grads must exist and
+    match nn_impl=topk (the reference formulation) exactly: top_k's
+    backward also treats the selection permutation as a constant of the
+    linearization, so the two chains are mathematically identical."""
     from lsdm_tpu.models.pointnet2 import PointNetFeaturePropagation
 
     fp_p = PointNetFeaturePropagation(mlp=(8,), nn_impl="pallas")
@@ -702,3 +706,32 @@ def test_fp_module_pallas_nn_falls_back_composed_in_train():
     g1 = jax.grad(lambda p2: mod_loss(fp_p, p2))(pts2)
     g2 = jax.grad(lambda p2: mod_loss(fp_t, p2))(pts2)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_three_nn_diff_weights_grads_match_composed():
+    """three_nn_interpolate(impl='pallas', diff_weights=True): gradients
+    wrt BOTH coordinate operands and the features must match the
+    composed top-k formulation (round 4; the train-legal 3-NN)."""
+    from lsdm_tpu.ops.pointcloud import three_nn_interpolate
+
+    xyz1 = jax.random.normal(jax.random.PRNGKey(20), (2, 16, 3))
+    xyz2 = jax.random.normal(jax.random.PRNGKey(21), (2, 8, 3))
+    pts2 = jax.random.normal(jax.random.PRNGKey(22), (2, 8, 4))
+
+    def loss(impl, dw, a, b, c):
+        return jnp.sum(
+            three_nn_interpolate(a, b, c, impl=impl, diff_weights=dw) ** 2)
+
+    out_p = three_nn_interpolate(xyz1, xyz2, pts2, impl="pallas",
+                                 diff_weights=True)
+    out_t = three_nn_interpolate(xyz1, xyz2, pts2, impl="topk")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_t),
+                               atol=1e-5, rtol=1e-5)
+
+    gp = jax.grad(lambda a, b, c: loss("pallas", True, a, b, c),
+                  argnums=(0, 1, 2))(xyz1, xyz2, pts2)
+    gt = jax.grad(lambda a, b, c: loss("topk", False, a, b, c),
+                  argnums=(0, 1, 2))(xyz1, xyz2, pts2)
+    for a, b in zip(gp, gt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
