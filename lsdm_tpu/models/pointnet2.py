@@ -200,6 +200,10 @@ class PointNetFeaturePropagation(nn.Module):
     select_impl: str = "topk"
     # "auto": follow select_impl; "pallas": fused 3-NN kernel
     nn_impl: str = "auto"
+    # interpolation-gather formulation, as in PointNetSetAbstraction:
+    # "scatter" (exact, trace-identical eval default) or
+    # "matmul"/"matmul_fwd" (one-hot MXU backward/both — train)
+    gather_bwd: str = "scatter"
 
     @nn.compact
     def __call__(
@@ -255,7 +259,8 @@ class PointNetFeaturePropagation(nn.Module):
             # ops/pointcloud.py:three_nn_interpolate)
             interpolated = three_nn_interpolate(xyz1, xyz2, points2,
                                                 impl=impl,
-                                                diff_weights=train)
+                                                diff_weights=train,
+                                                gather_bwd=self.gather_bwd)
         if points1 is not None:
             new_points = jnp.concatenate([points1, interpolated], axis=-1)
         else:
@@ -320,10 +325,10 @@ class PointNet2Backbone(nn.Module):
         nn_impl = (self.ball_impl if self.ball_impl in ("pallas", "fused")
                    else "pallas" if self.ball_impl == "sg"
                    else "auto")
-        fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp4")
-        fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp3")
-        fp2 = PointNetFeaturePropagation((256, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp2")
-        fp1 = PointNetFeaturePropagation((128, 128, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, name="fp1")
+        fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, gather_bwd=self.gather_bwd, name="fp4")
+        fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, gather_bwd=self.gather_bwd, name="fp3")
+        fp2 = PointNetFeaturePropagation((256, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, gather_bwd=self.gather_bwd, name="fp2")
+        fp1 = PointNetFeaturePropagation((128, 128, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, gather_bwd=self.gather_bwd, name="fp1")
         l3_points = fp4(l3_xyz, l4_xyz, l3_points, l4_points, train)
         l2_points = fp3(l2_xyz, l3_xyz, l2_points, l3_points, train)
         l1_points = fp2(l1_xyz, l2_xyz, l1_points, l2_points, train)

@@ -613,9 +613,20 @@ def knn(x: jax.Array, k: int, impl: str = "topk") -> jax.Array:
     return idx
 
 
+def _interp_gather(points2, idx, gather_bwd):
+    """The FP interpolation feature gather in the selected formulation
+    (mirrors the SetAbstraction grouping gather's gather_bwd choices)."""
+    if gather_bwd == "scatter":
+        return index_points(points2, idx)
+    return index_points_mm(points2, idx, points2.shape[1],
+                           "matmul" if gather_bwd == "matmul_fwd"
+                           else "gather")
+
+
 def three_nn_interpolate(
     xyz1: jax.Array, xyz2: jax.Array, points2: jax.Array, eps: float = 1e-8,
     impl: str = "topk", diff_weights: bool = False,
+    gather_bwd: str = "scatter",
 ) -> jax.Array:
     """Inverse-distance-weighted 3-NN feature interpolation.
 
@@ -638,6 +649,12 @@ def three_nn_interpolate(
     distance tensor.  Pinned against the composed gradients in
     tests/test_pointcloud_ops.py.
 
+    ``gather_bwd``: formulation of the feature gather, as in
+    :class:`...pointnet2.PointNetSetAbstraction` — "scatter" (exact
+    take-along + XLA scatter-add backward, the eval default, trace-
+    identical to round-3 programs) or "matmul"/"matmul_fwd" (one-hot MXU
+    contraction backward / both directions — the train formulations).
+
     xyz1: (B, N, 3); xyz2: (B, S, 3); points2: (B, S, C) -> (B, N, C).
     """
     k = min(3, xyz2.shape[1])  # reference always has S>=16; tiny configs don't
@@ -659,7 +676,7 @@ def three_nn_interpolate(
         dist_recip = 1.0 / (dists + eps)
         norm = jnp.sum(dist_recip, axis=2, keepdims=True)
         weight = dist_recip / norm
-        gathered = index_points(points2, idx)  # (B, N, k, C)
+        gathered = _interp_gather(points2, idx, gather_bwd)  # (B, N, k, C)
         return jnp.sum(gathered * weight[..., None], axis=2)
     d = square_distance(xyz1, xyz2)  # (B, N, S)
     if impl == "topk" or impl == "pallas":  # fast single-chip custom call
@@ -675,5 +692,5 @@ def three_nn_interpolate(
     dist_recip = 1.0 / (dists + eps)
     norm = jnp.sum(dist_recip, axis=2, keepdims=True)
     weight = dist_recip / norm
-    gathered = index_points(points2, idx)  # (B, N, 3, C)
+    gathered = _interp_gather(points2, idx, gather_bwd)  # (B, N, 3, C)
     return jnp.sum(gathered * weight[..., None], axis=2)

@@ -735,3 +735,37 @@ def test_three_nn_diff_weights_grads_match_composed():
     for a, b in zip(gp, gt):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_fp_module_matmul_gather_matches_scatter():
+    """FP module with gather_bwd='matmul_fwd' (round 4: the train
+    formulations extend to the interpolation gather): forward and grads
+    match the exact scatter formulation."""
+    from lsdm_tpu.models.pointnet2 import PointNetFeaturePropagation
+
+    fp_s = PointNetFeaturePropagation(mlp=(8,), nn_impl="topk",
+                                      gather_bwd="scatter")
+    fp_m = PointNetFeaturePropagation(mlp=(8,), nn_impl="topk",
+                                      gather_bwd="matmul_fwd")
+    xyz1 = jax.random.normal(jax.random.PRNGKey(30), (2, 16, 3))
+    xyz2 = xyz1[:, :8]
+    pts2 = jax.random.normal(jax.random.PRNGKey(31), (2, 8, 4))
+    v = fp_s.init(jax.random.PRNGKey(32), xyz1, xyz2, None, pts2, train=True)
+
+    def run_loss(fp, p2):
+        out, _ = fp.apply(v, xyz1, xyz2, None, p2, train=True,
+                          mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    o1, _ = fp_s.apply(v, xyz1, xyz2, None, pts2, train=True,
+                       mutable=["batch_stats"])
+    o2, _ = fp_m.apply(v, xyz1, xyz2, None, pts2, train=True,
+                       mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               atol=2e-6, rtol=1e-6)
+    # backward is bf16-grade by design (the segment-sum casts cotangents
+    # to bf16 — PERF.md round 3: rel ~3e-3, standard mixed-precision noise)
+    g1 = jax.grad(lambda p: run_loss(fp_s, p))(pts2)
+    g2 = jax.grad(lambda p: run_loss(fp_m, p))(pts2)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=2e-2, rtol=2e-2)
