@@ -90,7 +90,6 @@ def _sg_kernel(q_ref, xt_ref, xx_ref, base_ref, out_ref, idx_ref, *,
     first_ix = jnp.clip(first, 0, n_points - 1)     # (BS, 1)
     cur = jnp.where(cand == first, n_points, cand)
 
-    g_cols = []
     i_cols = []
     oh = first_oh
     ix = first_ix
@@ -112,9 +111,15 @@ def _sg_kernel(q_ref, xt_ref, xx_ref, base_ref, out_ref, idx_ref, *,
         # center-relative xyz columns, computed in the compute dtype —
         # identical arithmetic to the composed path's grouped - center
         g = jnp.concatenate([g[:, :3] - qc, g[:, 3:]], axis=-1)
-        g_cols.append(g[:, None, :])                # (BS, 1, C)
+        # K-major per-slot store: indexing the LEADING (non-tiled) dims
+        # keeps every vector value 2-D.  Assembling (BS, K, C) in-kernel
+        # via g[:, None, :] lowers to a rank-2 -> rank-3 unit-middle
+        # vector.shape_cast that jax.export accepts but the real libtpu
+        # AOT compiler rejects ("infer-vector-layout: unsupported shape
+        # cast", .bench_logs/bt_sg.log) — the second export
+        # false-negative class, linted by tools/verify_mosaic.py.
+        out_ref[0, k] = g                           # (BS, C) slot k
         i_cols.append(ix)
-    out_ref[0] = jnp.concatenate(g_cols, axis=1)    # (BS, K, C)
     idx_ref[0] = jnp.concatenate(i_cols, axis=-1)   # (BS, K)
 
 
@@ -131,10 +136,15 @@ def _sg_call(radius, nsample, xyz, new_xyz, base, compute_dtype, interpret):
     xyz_t = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)      # (B, 3, N)
     xx = jnp.sum(xyz.astype(jnp.float32) ** 2, -1)[:, None]  # (B, 1, N)
 
-    return pl.pallas_call(
+    # grouped comes back K-major — (B, K, S, C) — because the kernel
+    # stores one (BS, C) slab per selection sweep (leading-dim indexing;
+    # see the in-kernel comment on the rejected shape_cast).  The
+    # transpose back to the composed path's (B, S, K, C) is one XLA
+    # copy outside the kernel, fused into the consumer's layout.
+    grouped, idx = pl.pallas_call(
         partial(_sg_kernel, radius2=float(radius) ** 2, nsample=nsample,
                 n_points=N, compute_dtype=cdt),
-        out_shape=(jax.ShapeDtypeStruct((B, S, nsample, C), cdt),
+        out_shape=(jax.ShapeDtypeStruct((B, nsample, S, C), cdt),
                    jax.ShapeDtypeStruct((B, S, nsample), jnp.int32)),
         grid=grid,
         in_specs=[
@@ -143,11 +153,12 @@ def _sg_call(radius, nsample, xyz, new_xyz, base, compute_dtype, interpret):
             pl.BlockSpec((1, 1, N), lambda b, s: (b, 0, 0)),
             pl.BlockSpec((1, N, C), lambda b, s: (b, 0, 0)),
         ],
-        out_specs=(pl.BlockSpec((1, BS, nsample, C),
-                                lambda b, s: (b, s, 0, 0)),
+        out_specs=(pl.BlockSpec((1, nsample, BS, C),
+                                lambda b, s: (b, 0, s, 0)),
                    pl.BlockSpec((1, BS, nsample), lambda b, s: (b, s, 0))),
         interpret=interpret,
     )(new_xyz.astype(jnp.float32), xyz_t, xx, base.astype(cdt))
+    return jnp.swapaxes(grouped, 1, 2), idx
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))

@@ -53,10 +53,40 @@ from jax import export  # noqa: E402
 
 _MOSAIC_BODY_RE = re.compile(r"22body.22: .22([A-Za-z0-9+/=]{100,})")
 _I1_RESULT_RE = re.compile(r"-> vector<[0-9x]+xi1>")
+_SHAPE_CAST_RE = re.compile(
+    r"shape_cast[^:]*:\s*\(vector<([0-9x]+)x[a-z0-9]+>\)"
+    r"\s*->\s*vector<([0-9x]+)x[a-z0-9]+>")
 
 
-def lint_i1_vectors(stablehlo_text: str) -> list:
-    """Return offending Mosaic lines: non-cmp ops producing i1 vectors.
+def lint_tiled_shape_casts(stablehlo_text: str) -> list:
+    """Flag vector.shape_cast ops that move data across the tiled dims.
+
+    Second export false-negative class (round 4, bt_sg.log): Mosaic's
+    infer-vector-layout REJECTS shape casts that change a rank>=2
+    vector's last-two (sublane, lane) dims — e.g. the unit-MIDDLE-dim
+    insertion ``vector<256x6> -> vector<256x1x6>`` that ``g[:, None, :]``
+    emits — with "unsupported shape cast", while jax.export accepts
+    them.  Leading-unit-dim insertions (``-> vector<1x1x256x6>``, the
+    ref-store idiom) and rank-1 -> rank-2 trailing expansions
+    (``vector<256> -> vector<256x1>``, the keepdims reduction idiom)
+    keep the tiled dims intact and compile fine on-chip
+    (ops/ballquery_pallas.py et al.).
+    """
+    bad = []
+    for text in decode_mosaic_bodies(stablehlo_text):
+        for line in text.splitlines():
+            m = _SHAPE_CAST_RE.search(line)
+            if not m:
+                continue
+            src = [int(d) for d in m.group(1).split("x")]
+            dst = [int(d) for d in m.group(2).split("x")]
+            if len(src) >= 2 and len(dst) >= 2 and src[-2:] != dst[-2:]:
+                bad.append(line.strip())
+    return bad
+
+
+def decode_mosaic_bodies(stablehlo_text: str) -> list:
+    """Decode every embedded Mosaic kernel module to MLIR text.
 
     The Mosaic kernel modules ride inside ``tpu_custom_call`` backend
     configs as base64 MLIR bytecode; bytecode parses fine with
@@ -64,11 +94,18 @@ def lint_i1_vectors(stablehlo_text: str) -> list:
     """
     from jaxlib.mlir.ir import Context, Module
 
-    bad = []
+    bodies = []
     for b64 in _MOSAIC_BODY_RE.findall(stablehlo_text):
         ctx = Context()
         ctx.allow_unregistered_dialects = True
-        text = str(Module.parse(base64.b64decode(b64), ctx))
+        bodies.append(str(Module.parse(base64.b64decode(b64), ctx)))
+    return bodies
+
+
+def lint_i1_vectors(stablehlo_text: str) -> list:
+    """Return offending Mosaic lines: non-cmp ops producing i1 vectors."""
+    bad = []
+    for text in decode_mosaic_bodies(stablehlo_text):
         for line in text.splitlines():
             if (_I1_RESULT_RE.search(line) and "cmpi" not in line
                     and "cmpf" not in line):
@@ -79,15 +116,24 @@ def lint_i1_vectors(stablehlo_text: str) -> list:
 def _export_tpu(name: str, fn, *args) -> bool:
     try:
         exp = export.export(jax.jit(fn), platforms=["tpu"])(*args)
-        bad = lint_i1_vectors(exp.mlir_module())
+        text = exp.mlir_module()
+        bad_i1 = lint_i1_vectors(text)
+        bad_sc = lint_tiled_shape_casts(text)
     except Exception as e:  # noqa: BLE001 — report and keep scanning
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:2000]}")
         return False
-    if bad:
+    if bad_i1:
         print(f"FAIL {name}: i1-vector value ops (libtpu rejects these "
               f"with 'Unsupported target bitwidth for truncation' even "
               f"though jax.export accepts them):")
-        for line in bad[:8]:
+        for line in bad_i1[:8]:
+            print(f"     {line[:160]}")
+        return False
+    if bad_sc:
+        print(f"FAIL {name}: tiled-dim vector shape_casts (libtpu "
+              f"rejects these with 'infer-vector-layout: unsupported "
+              f"shape cast' even though jax.export accepts them):")
+        for line in bad_sc[:8]:
             print(f"     {line[:160]}")
         return False
     print(f"ok   {name}")
