@@ -46,9 +46,10 @@ def main():
                              "binsearch"],
                     help="ball-query formulation (PERF.md round 3)")
     ap.add_argument("--ablate", default=None,
-                    choices=[None, "ballquery", "fps", "pcd_backbone"],
-                    help="replace a component with a stub to attribute "
-                         "step time (diagnostic, not a training mode)")
+                    help="comma-separated components to stub out to "
+                         "attribute step time (diagnostic, not a training "
+                         "mode): ballquery, fps, pcd_backbone, "
+                         "human_backbone, denoise_head, optimizer")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -83,7 +84,13 @@ def main():
                               gather_bwd=args.gather_bwd,
                               ball_impl=args.ball_impl)
 
-    if args.ablate == "ballquery":
+    ablations = set((args.ablate or "").split(",")) - {""}
+    known = {"ballquery", "fps", "pcd_backbone", "human_backbone",
+             "denoise_head", "optimizer"}
+    if ablations - known:
+        ap.error(f"unknown --ablate component(s): {sorted(ablations - known)}")
+
+    if "ballquery" in ablations:
         # stub: first-K indices instead of the radius search — isolates the
         # (B*O, S, N) distance matrix + top_k cost from the grouped MLPs
         import lsdm_tpu.ops.pointcloud as _pc
@@ -96,7 +103,7 @@ def main():
 
         _pc.query_ball_point = _stub
         _pn2.query_ball_point = _stub
-    elif args.ablate == "fps":
+    if "fps" in ablations:
         # stub: strided indices instead of the sequential farthest-point
         # scan — isolates the 336 scan iterations (sa2: 256, sa3: 64,
         # sa4: 16) from the rest of the backbone
@@ -110,7 +117,7 @@ def main():
 
         _pc.farthest_point_sample = _fps_stub
         _pn2.farthest_point_sample = _fps_stub
-    elif args.ablate == "pcd_backbone":
+    if "pcd_backbone" in ablations:
         # stub: mean-pooled paramless features — removes the entire
         # PointNet++ stack (9 object clouds/scene) from the step
         import lsdm_tpu.models.pointnet2 as _pn2
@@ -121,6 +128,35 @@ def main():
                 mean, (xyz.shape[0], xyz.shape[1], 3))[..., : self.out_dim]
 
         _pn2.PointNet2Backbone.__call__ = _cheap
+    if "human_backbone" in ablations:
+        # stub: paramless passthrough — removes the POSA-decoder (or
+        # STGCN) human tower from the step while keeping its consumers
+        # (the pcd_attention mix) alive
+        import lsdm_tpu.models.posa as _posa
+        import lsdm_tpu.models.stgcn as _stgcn
+
+        def _hm_cheap(self, x, train=False):
+            return jnp.broadcast_to(
+                jnp.mean(x, axis=1, keepdims=True).astype(x.dtype),
+                (x.shape[0], self.pcd_points, 3))
+
+        _posa.POSADecoderBackbone.__call__ = _hm_cheap
+        _stgcn.STGCN.__call__ = _hm_cheap
+    if "denoise_head" in ablations:
+        # stub: drop the timestep-emb/upsampling/combine/input/output
+        # MLP tower but keep the conditioning encode alive through a
+        # scalar data dependence (otherwise XLA DCEs the whole encode
+        # and the measurement collapses to loss+optimizer)
+        from lsdm_tpu.diffusion.gaussian import DenoiserOutput
+        from lsdm_tpu.models import sdm as _sdm
+
+        def _head_cheap(self, cond, x, timesteps):
+            v = (x.astype(jnp.float32)
+                 + jnp.mean(cond.cond_pcd).astype(jnp.float32)
+                 + 0.0 * jnp.mean(timesteps.astype(jnp.float32)))
+            return DenoiserOutput(x0=v, cat=cond.out_cat, guiding=v)
+
+        _sdm.SceneDiffusionModel.denoise_from_cond = _head_cheap
 
     B, O, N = args.batch, cfg.max_objs, cfg.pcd_points
     key = jax.random.PRNGKey(0)
@@ -137,7 +173,9 @@ def main():
     model = SceneDiffusionModel(cfg)
     variables = model.init(ks[5], target, mask, jnp.zeros((B,), jnp.int32),
                            objs, cats, text)
-    tx = optax.adamw(1e-4)
+    # "optimizer" ablation: plain SGD isolates AdamW's moment updates
+    # (two extra HBM passes over every param) from the rest of the floor
+    tx = optax.sgd(1e-4) if "optimizer" in ablations else optax.adamw(1e-4)
     state = create_train_state(variables, tx)
     schedule = make_schedule("cosine", 20 if args.smoke else 1000)
     step = make_train_step(model, schedule, tx, chamfer_impl=args.chamfer)
