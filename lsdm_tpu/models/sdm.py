@@ -128,12 +128,16 @@ class SceneDiffusionModel(nn.Module):
                 # (lax.top_k has no SPMD rule; see ops/pointcloud.py)
                 select_impl="spmd" if self.obj_sharding is not None
                 else "topk",
-                # the fused eval kernels (ops/{sa,fp,fps}_fused_pallas) have
-                # no SPMD partitioning rule — under a sharded object axis
-                # they would force replication, so the partition-clean
-                # composed formulations take over
+                # NONE of the Pallas kernels (fused eval stages, the
+                # train-default ball-query/3-NN "pallas", the fused
+                # select+gather "sg") have an SPMD partitioning rule —
+                # under a sharded object axis any of them would force
+                # XLA to replicate/all-gather their operands, so the
+                # partition-clean composed formulations take over
+                # (pinned by tests/test_parallel.py midsize audits)
                 ball_impl=("auto" if self.obj_sharding is not None
-                           and cfg.ball_impl == "fused" else cfg.ball_impl),
+                           and cfg.ball_impl in ("fused", "pallas", "sg")
+                           else cfg.ball_impl),
                 gather_bwd=cfg.gather_bwd,
             )
         self.combine_extraction = MLP((D,), ("gelu",), dtype=dtype)

@@ -243,7 +243,19 @@ def vendor_clip_bpe(source: Optional[str] = None,
     prompt that touches a missing merge.
     """
     dest = dest or CLIP_BPE_ASSET
-    found = resolve_clip_bpe(source)
+    if source is not None:
+        # an EXPLICIT source must resolve to itself — silently falling
+        # through to the env-var/HF-cache chain would vendor (and
+        # hash-pin) a different file than the one the user named
+        candidate = (os.path.join(source, "merges.txt")
+                     if os.path.isdir(source) else source)
+        if not os.path.isfile(candidate):
+            raise FileNotFoundError(
+                f"--source {source} is not a merges file (or a directory "
+                "holding merges.txt)")
+        found = candidate
+    else:
+        found = resolve_clip_bpe(None)
     if found is None:
         raise FileNotFoundError(
             "no CLIP BPE merges source found to vendor. " + CLIP_BPE_HELP)
@@ -253,12 +265,28 @@ def vendor_clip_bpe(source: Optional[str] = None,
             "explicit source to re-vendor. " + CLIP_BPE_HELP)
     text = _read_merges_text(found)
     lines = text.split("\n")
-    n_merges = sum(1 for line in lines[1:49152 - 256 - 2 + 1]
-                   if line.strip())
-    if n_merges != CLIP_CANONICAL_MERGES and not force:
+    # CLIP's tokenizer consumes exactly this slice of the table
+    # (simple_tokenizer: merges[1:49152-256-2+1]); validate the CONTENT,
+    # not just the count — an oversized non-CLIP table (e.g. GPT-2's 50k
+    # merges) would slice down to a "canonical" 48,894 lines.  CLIP
+    # merges are `tok tok` pairs with `</w>` word-end markers and never
+    # use the byte-BPE `Ġ` space marker.
+    merges = [line for line in lines[1:49152 - 256 - 2 + 1] if line.strip()]
+    n_merges = len(merges)
+    wellformed = all(len(line.split()) == 2 for line in merges)
+    foreign = any("Ġ" in line for line in merges)  # Ġ: GPT-2 style
+    endw = sum(1 for line in merges if line.rstrip().endswith("</w>"))
+    clip_shaped = (wellformed and not foreign
+                   and endw >= max(1, n_merges // 20))
+    parity_grade = n_merges == CLIP_CANONICAL_MERGES and clip_shaped
+    if not parity_grade and not force:
+        why = (f"holds {n_merges} merges, not the canonical "
+               f"{CLIP_CANONICAL_MERGES}" if n_merges != CLIP_CANONICAL_MERGES
+               else "does not look like a CLIP merges table "
+                    f"(wellformed={wellformed}, foreign-markers={foreign}, "
+                    f"</w>-lines={endw})")
         raise ValueError(
-            f"{found} holds {n_merges} merges, not the canonical "
-            f"{CLIP_CANONICAL_MERGES} — a truncated table changes "
+            f"{found} {why} — a wrong/truncated table changes "
             "tokenization. Pass force=True (--force) to vendor anyway "
             "(NOT parity-grade).")
     os.makedirs(os.path.dirname(dest), exist_ok=True)
@@ -269,8 +297,7 @@ def vendor_clip_bpe(source: Optional[str] = None,
         f.write(f"{digest}  {os.path.basename(dest)} "
                 f"(merges={n_merges}, source={found})\n")
     return {"source": found, "dest": dest, "sha256": digest,
-            "merges": n_merges,
-            "parity_grade": n_merges == CLIP_CANONICAL_MERGES}
+            "merges": n_merges, "parity_grade": parity_grade}
 
 
 def resolve_text_encoder(requested: str,

@@ -241,3 +241,25 @@ def test_midsize_sampling_partitioning_no_giant_allgather():
     assert worst < 8e6, f"giant all-gather in the sampler: {worst / 1e6:.0f} MB"
     s, cat = compiled(*args)
     assert np.isfinite(np.asarray(s)).all()
+
+
+@pytest.mark.parametrize("impl", ["fused", "pallas", "sg"])
+def test_sharded_context_overrides_kernel_ball_impls(impl):
+    """None of the Pallas kernels (fused eval stages, the train-default
+    "pallas" ball-query/3-NN, the fused select+gather "sg") have an SPMD
+    partitioning rule — a sharded object axis must override ALL of them
+    to the composed partition-clean formulations (models/sdm.py).  Round
+    4 regression: only "fused" was overridden, so the TPU train default
+    ("auto" -> "pallas") on a mesh run would have forced replication."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, ball_impl=impl)
+    mesh = mesh_lib.make_mesh((4, 2))
+    sharded = SceneDiffusionModel(cfg, obj_sharding=mesh_lib.obj_sharding(mesh))
+    mask, objs, cats, target, _, text = _batch(jax.random.PRNGKey(0))
+    variables = sharded.init(jax.random.PRNGKey(1), target, mask,
+                             jnp.zeros((B,), jnp.int32), objs, cats, text)
+    assert sharded.bind(variables).pcd_backbone.ball_impl == "auto"
+    # and without sharding the requested impl passes through
+    plain = SceneDiffusionModel(cfg)
+    assert plain.bind(variables).pcd_backbone.ball_impl == impl

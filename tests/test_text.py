@@ -161,14 +161,44 @@ def test_vendor_canonical_count_is_parity_grade(tmp_path, monkeypatch):
     dest = tmp_path / "assets" / "bpe_simple_vocab_16e6.txt.gz"
     monkeypatch.setattr(text_lib, "CLIP_BPE_ASSET", str(dest))
 
-    # synthetic table with the canonical count: unique pair per line
-    merges = [(f"a{i}", f"b{i}") for i in
+    # synthetic CLIP-shaped table with the canonical count: unique
+    # `tok tok</w>` pair per line (the content guard checks the shape)
+    merges = [(f"a{i}", f"b{i}</w>") for i in
               range(text_lib.CLIP_CANONICAL_MERGES)]
     src = tmp_path / "merges.txt"
     _write_merges_txt(src, merges)
     info = text_lib.vendor_clip_bpe(str(src))  # no force needed
     assert info["parity_grade"] is True
     assert info["merges"] == text_lib.CLIP_CANONICAL_MERGES
+
+
+def test_vendor_rejects_wrong_table_and_bad_explicit_source(tmp_path,
+                                                            monkeypatch):
+    """Round-4 review pins: (a) an OVERSIZED non-CLIP table (e.g. GPT-2's
+    50k byte-BPE merges) slices down to the canonical count but must not
+    vendor as parity-grade; (b) an explicit --source that does not exist
+    must error, never fall through to the env/HF resolution chain."""
+    from lsdm_tpu.models import text as text_lib
+
+    monkeypatch.delenv("LSDM_TPU_CLIP_BPE", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "empty_hf"))
+    dest = tmp_path / "assets" / "bpe_simple_vocab_16e6.txt.gz"
+    monkeypatch.setattr(text_lib, "CLIP_BPE_ASSET", str(dest))
+
+    # (a) GPT-2-style table, 50k merges with Ġ markers and no </w>
+    gpt2 = [("Ġt", f"x{i}") for i in range(50_000)]
+    src = tmp_path / "merges.txt"
+    _write_merges_txt(src, gpt2)
+    with pytest.raises(ValueError, match="CLIP merges table"):
+        text_lib.vendor_clip_bpe(str(src))
+    info = text_lib.vendor_clip_bpe(str(src), force=True)
+    assert info["parity_grade"] is False
+
+    # (b) bad explicit source errors even though a resolvable fallback
+    # (the just-vendored asset / env var) exists
+    monkeypatch.setenv("LSDM_TPU_CLIP_BPE", str(src))
+    with pytest.raises(FileNotFoundError, match="not a merges file"):
+        text_lib.vendor_clip_bpe(str(tmp_path / "typo" / "merges.txt"))
 
 
 def test_vendored_asset_hash_pin_detects_corruption(tmp_path, monkeypatch):

@@ -136,9 +136,13 @@ def main():
         import lsdm_tpu.models.stgcn as _stgcn
 
         def _hm_cheap(self, x, train=False):
+            # POSA names the output length pcd_points; STGCN's field is
+            # joint_num (== cfg.pcd_points at the SDM call site) — both
+            # consume (B, N, 3) and must emit (B, P, 3)
+            P = getattr(self, "pcd_points", None) or self.joint_num
             return jnp.broadcast_to(
                 jnp.mean(x, axis=1, keepdims=True).astype(x.dtype),
-                (x.shape[0], self.pcd_points, 3))
+                (x.shape[0], P, 3))
 
         _posa.POSADecoderBackbone.__call__ = _hm_cheap
         _stgcn.STGCN.__call__ = _hm_cheap
