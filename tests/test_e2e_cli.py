@@ -71,3 +71,21 @@ def test_bench_train_smoke():
                  "--batch", "2", "--chunk", "2", "--repeats", "1"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "train_steps_per_sec=" in r.stdout
+
+
+def test_bench_train_composable_ablations():
+    """The --ablate diagnostic composes stubs (PERF.md round-4 floor
+    attribution). Pins the human_backbone stub working for BOTH tower
+    types (POSA's pcd_points vs STGCN's joint_num field — round-4 fix)."""
+    for tower in ("POSA", "P2R"):
+        r = run_cli(["tools.bench_train", "--smoke", "--platform", "cpu",
+                     "--batch", "2", "--chunk", "2", "--repeats", "1",
+                     "--human_backbone", tower, "--ablate",
+                     "pcd_backbone,human_backbone,denoise_head,optimizer"])
+        assert r.returncode == 0, f"{tower}: {r.stderr[-2000:]}"
+        assert "train_steps_per_sec=" in r.stdout
+    # unknown component names must error out, not run a misattributed bench
+    r = run_cli(["tools.bench_train", "--smoke", "--platform", "cpu",
+                 "--ablate", "nonexistent_component"])
+    assert r.returncode != 0
+    assert "unknown --ablate" in r.stderr

@@ -50,6 +50,10 @@ def main():
                          "attribute step time (diagnostic, not a training "
                          "mode): ballquery, fps, pcd_backbone, "
                          "human_backbone, denoise_head, optimizer")
+    ap.add_argument("--human_backbone", default=None,
+                    choices=["POSA", "P2R"],
+                    help="override the human-tower type (default: the "
+                         "config's, POSA)")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -83,6 +87,8 @@ def main():
     cfg = dataclasses.replace(cfg, dtype=args.dtype, bn_dtype=args.bn_dtype,
                               gather_bwd=args.gather_bwd,
                               ball_impl=args.ball_impl)
+    if args.human_backbone:
+        cfg = dataclasses.replace(cfg, human_backbone_type=args.human_backbone)
 
     ablations = set((args.ablate or "").split(",")) - {""}
     known = {"ballquery", "fps", "pcd_backbone", "human_backbone",
