@@ -73,6 +73,24 @@ def test_bench_train_smoke():
     assert "train_steps_per_sec=" in r.stdout
 
 
+def test_onchip_equiv_harness_cpu_selftest():
+    """The composed-vs-fused equivalence harness (the round-4 promotion
+    gate, tools/onchip_equiv.py) self-tests on CPU: tiny config, T=20,
+    interpret-mode kernels, fp32 — must print the JSON delta line and
+    exit 0 (PASS). Pins the gate harness itself, not just the kernels
+    it gates."""
+    import json
+
+    r = run_cli(["tools.onchip_equiv", "--platform", "cpu"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    # CPU fp32 interpret agreement is ~1e-7-grade (PERF.md round 4);
+    # assert an order of magnitude of headroom as the regression bound
+    assert out["sample_maxabs"] < 1e-5
+    assert abs(out["sample_chamfer"]) < 1e-8
+    assert "PASS" in r.stderr
+
+
 def test_bench_train_composable_ablations():
     """The --ablate diagnostic composes stubs (PERF.md round-4 floor
     attribution). Pins the human_backbone stub working for BOTH tower
