@@ -73,6 +73,19 @@ def test_bench_train_smoke():
     assert "train_steps_per_sec=" in r.stdout
 
 
+@pytest.mark.parametrize("what", ["backbone", "sa", "encode", "attn"])
+def test_profile_stages_smoke(what):
+    """The on-chip attribution tool's probes must keep building against
+    the live model surface (--smoke: tiny shapes, CPU). scan_bench
+    swallows probe exceptions into 'FAILED' lines, so assert none."""
+    r = run_cli(["tools.profile_stages", "--what", what, "--smoke",
+                 "--platform", "cpu", "--reps", "2", "--clouds", "2",
+                 "--batch", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ms/call" in r.stdout
+    assert "FAILED" not in r.stdout, r.stdout[-2000:]
+
+
 def test_onchip_equiv_harness_cpu_selftest():
     """The composed-vs-fused equivalence harness (the round-4 promotion
     gate, tools/onchip_equiv.py) self-tests on CPU: tiny config, T=20,

@@ -47,7 +47,8 @@ def profile_backbone(args):
     from lsdm_tpu.models.pointnet2 import PointNet2Backbone
 
     BO = args.clouds
-    xyz = jax.random.normal(jax.random.PRNGKey(0), (BO, 1024, 3))
+    N = 64 if args.smoke else 1024
+    xyz = jax.random.normal(jax.random.PRNGKey(0), (BO, N, 3))
     bb = PointNet2Backbone(out_dim=3, dtype=jnp.dtype(args.dtype),
                            ball_impl=args.ball_impl,
                            gather_bwd=args.gather_bwd)
@@ -81,8 +82,12 @@ def profile_sa(args):
 
     BO = args.clouds
     # sa1/sa2 at flagship shapes — the two dominant stages (PERF.md)
-    for name, N, S, mlp, r in (("sa1", 1024, 1024, (32, 32, 64), 0.1),
-                               ("sa2", 1024, 256, (64, 64, 128), 0.2)):
+    shapes = (("sa1", 1024, 1024, (32, 32, 64), 0.1),
+              ("sa2", 1024, 256, (64, 64, 128), 0.2))
+    if args.smoke:
+        shapes = (("sa1", 64, 64, (32, 32, 64), 0.1),
+                  ("sa2", 64, 16, (64, 64, 128), 0.2))
+    for name, N, S, mlp, r in shapes:
         xyz = jax.random.normal(jax.random.PRNGKey(0), (BO, N, 3))
         feats = jax.random.normal(jax.random.PRNGKey(1),
                                   (BO, N, mlp[0] // 4 * 3))
@@ -107,7 +112,14 @@ def profile_encode(args):
     from lsdm_tpu import config as cfg_lib
     from lsdm_tpu.models.sdm import SceneDiffusionModel
 
-    cfg = dataclasses.replace(cfg_lib.sdm_proxd(), ball_impl=args.ball_impl,
+    if args.smoke:
+        from lsdm_tpu.config import SDMConfig
+
+        cfg = SDMConfig(clip_dim=32, latent_dim=16, cat_emb=8, n_head=4,
+                        vert_dims=24, pcd_points=32)
+    else:
+        cfg = cfg_lib.sdm_proxd()
+    cfg = dataclasses.replace(cfg, ball_impl=args.ball_impl,
                               dtype=args.dtype)
     model = SceneDiffusionModel(cfg)
     B, O, N = args.batch, cfg.max_objs, cfg.pcd_points
@@ -136,8 +148,9 @@ def profile_attn(args):
     from lsdm_tpu.ops.attention import TorchMultiheadAttention
 
     BO = args.clouds
-    q = jax.random.normal(jax.random.PRNGKey(0), (BO, 1024, 12))
-    kv = jax.random.normal(jax.random.PRNGKey(1), (BO, 1024, 3))
+    N = 64 if args.smoke else 1024
+    q = jax.random.normal(jax.random.PRNGKey(0), (BO, N, 12))
+    kv = jax.random.normal(jax.random.PRNGKey(1), (BO, N, 3))
     m = TorchMultiheadAttention(embed_dim=12, num_heads=12, kdim=3, vdim=3,
                                 dtype=jnp.dtype(args.dtype))
     vs = m.init(jax.random.PRNGKey(2), q, kv, kv)
@@ -162,6 +175,8 @@ def main():
                     help="B*O cloud count (9 = batch-1 eval, 54 = train)")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes (CPU self-test; timings meaningless)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
