@@ -112,7 +112,8 @@ def test_bench_train_composable_ablations():
         r = run_cli(["tools.bench_train", "--smoke", "--platform", "cpu",
                      "--batch", "2", "--chunk", "2", "--repeats", "1",
                      "--human_backbone", tower, "--ablate",
-                     "pcd_backbone,human_backbone,denoise_head,optimizer"])
+                     "pcd_backbone,human_backbone,denoise_head,optimizer,"
+                     "loss,rng"])
         assert r.returncode == 0, f"{tower}: {r.stderr[-2000:]}"
         assert "train_steps_per_sec=" in r.stdout
     # unknown component names must error out, not run a misattributed bench

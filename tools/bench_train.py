@@ -49,7 +49,8 @@ def main():
                     help="comma-separated components to stub out to "
                          "attribute step time (diagnostic, not a training "
                          "mode): ballquery, fps, pcd_backbone, "
-                         "human_backbone, denoise_head, optimizer")
+                         "human_backbone, denoise_head, optimizer, loss, "
+                         "rng")
     ap.add_argument("--human_backbone", default=None,
                     choices=["POSA", "P2R"],
                     help="override the human-tower type (default: the "
@@ -92,7 +93,7 @@ def main():
 
     ablations = set((args.ablate or "").split(",")) - {""}
     known = {"ballquery", "fps", "pcd_backbone", "human_backbone",
-             "denoise_head", "optimizer"}
+             "denoise_head", "optimizer", "loss", "rng"}
     if ablations - known:
         ap.error(f"unknown --ablate component(s): {sorted(ablations - known)}")
 
@@ -167,6 +168,31 @@ def main():
             return DenoiserOutput(x0=v, cat=cond.out_cat, guiding=v)
 
         _sdm.SceneDiffusionModel.denoise_from_cond = _head_cheap
+    if "loss" in ablations:
+        # stub: plain pointwise MSE instead of chamfer + CE — isolates the
+        # (B, N, N) chamfer distance matrix fwd+bwd and the CE chain from
+        # the rest of the step.  q_sample and the model call stay real; a
+        # 1e-30-scaled cat dependence keeps the category tower un-DCEd.
+        from lsdm_tpu.diffusion.gaussian import q_sample as _qs
+        from lsdm_tpu.train import trainer as _trainer
+
+        def _loss_stub(schedule, model_fn, x_start, t, target_cat, noise,
+                       lambda_cat=0.1, mean_type="start_x",
+                       chamfer_impl="xla"):
+            x_t = _qs(schedule, x_start, t, noise)
+            out = model_fn(x_t, t)
+            mse = jnp.mean((out.x0.astype(jnp.float32) - x_start) ** 2)
+            cat = 1e-30 * jnp.sum(out.cat.astype(jnp.float32))
+            return {"loss": mse + cat, "mse": mse, "cat_loss": cat}
+
+        _trainer.training_losses = _loss_stub
+    if "rng" in ablations:
+        # stub: derive t/noise from raw key bits instead of threefry draws —
+        # isolates the on-device RNG (randint + the (B, N, 3) normal) while
+        # keeping the consumers data-dependent (not constant-foldable).
+        # Patched on jax.random AFTER init/data creation below, because
+        # flax initializers and the benchmark inputs draw real randoms.
+        pass
 
     B, O, N = args.batch, cfg.max_objs, cfg.pcd_points
     key = jax.random.PRNGKey(0)
@@ -188,6 +214,24 @@ def main():
     tx = optax.sgd(1e-4) if "optimizer" in ablations else optax.adamw(1e-4)
     state = create_train_state(variables, tx)
     schedule = make_schedule("cosine", 20 if args.smoke else 1000)
+
+    if "rng" in ablations:
+        # see the ablation comment above: key-bit-derived t/noise, no
+        # threefry inside the step (init and input data already drawn)
+        def _randint_stub(key, shape, minval, maxval, dtype=jnp.int32):
+            k = jnp.asarray(key).reshape(-1)[0].astype(jnp.uint32)
+            return jnp.broadcast_to(
+                (k % jnp.uint32(maxval - minval)).astype(dtype) + minval,
+                shape)
+
+        def _normal_stub(key, shape=(), dtype=jnp.float32):
+            k = jnp.asarray(key).reshape(-1)[-1].astype(jnp.uint32)
+            return jnp.broadcast_to(
+                (k.astype(jnp.float32) * 1e-10).astype(dtype), shape)
+
+        jax.random.randint = _randint_stub
+        jax.random.normal = _normal_stub
+
     step = make_train_step(model, schedule, tx, chamfer_impl=args.chamfer)
 
     # Chunked: `chunk` sequential train steps per device dispatch, so the
