@@ -125,6 +125,12 @@ class TrainConfig:
     schedule_sampler: str = "uniform"  # "uniform" | "loss-second-moment"
     ema_rate: float = 0.0  # parameter EMA (0 = off)
     lr_anneal_steps: int = 0  # linear LR anneal horizon (0 = constant)
+    # K optimizer steps per device dispatch (lax.scan over K stacked
+    # batches, trainer.make_scan_train_step). 1 = one dispatch per step.
+    # On the tunneled axon chip each dispatch costs ~28 ms of transport
+    # (PERF.md), so K>1 is how the production loop reaches the measured
+    # bench_train numbers (which amortize 20x).
+    steps_per_dispatch: int = 1
     seed: int = 0
     bf16_compute: bool = True
     # Mesh axes: data-parallel x model-parallel. (1, 1) = single chip.

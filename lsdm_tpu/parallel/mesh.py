@@ -53,6 +53,12 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
+def stacked_batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard dim 1 (batch under a leading steps-per-dispatch chunk axis)
+    on the data axis — the chunked trainer's input layout."""
+    return NamedSharding(mesh, P(None, "data", *([None] * (ndim - 2))))
+
+
 def obj_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for the flattened (B*max_objs, N, 3) cloud axis: split over
     BOTH mesh axes — the backbone is embarrassingly parallel over clouds."""

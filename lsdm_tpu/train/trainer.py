@@ -35,7 +35,7 @@ from lsdm_tpu.train.state import TrainState, create_train_state, make_optimizer
 from lsdm_tpu.utils.logger import KVLogger
 
 
-def make_train_step(
+def _make_step_fn(
     model: SceneDiffusionModel,
     schedule,
     tx: optax.GradientTransformation,
@@ -43,10 +43,9 @@ def make_train_step(
     ema_rate: float = 0.0,
     chamfer_impl: str = "xla",
 ):
-    """Returns jitted ``step(state, batch_arrays, text_emb, key) ->
-    (state, metrics)``.  ``state`` is donated.  ``ema_rate > 0`` maintains
-    an exponential moving average of the parameters (reference
-    ``update_ema``, ``diffusion/nn.py:56``)."""
+    """The unjitted train-step body shared by the per-batch program
+    (``make_train_step``) and the scanned multi-batch program
+    (``make_scan_train_step``)."""
 
     def step(state: TrainState, mask, objs, cats, target, target_cat, text_emb, key):
         B = target.shape[0]
@@ -99,7 +98,58 @@ def make_train_step(
         }
         return new_state, metrics
 
+    return step
+
+
+def make_train_step(
+    model: SceneDiffusionModel,
+    schedule,
+    tx: optax.GradientTransformation,
+    lambda_cat: float = 0.1,
+    ema_rate: float = 0.0,
+    chamfer_impl: str = "xla",
+):
+    """Returns jitted ``step(state, batch_arrays, text_emb, key) ->
+    (state, metrics)``.  ``state`` is donated.  ``ema_rate > 0`` maintains
+    an exponential moving average of the parameters (reference
+    ``update_ema``, ``diffusion/nn.py:56``)."""
+    step = _make_step_fn(model, schedule, tx, lambda_cat, ema_rate, chamfer_impl)
     return jax.jit(step, donate_argnums=0)
+
+
+def make_scan_train_step(
+    model: SceneDiffusionModel,
+    schedule,
+    tx: optax.GradientTransformation,
+    lambda_cat: float = 0.1,
+    ema_rate: float = 0.0,
+    chamfer_impl: str = "xla",
+):
+    """Returns jitted ``scan_step(state, stacked_arrays..., epoch_key,
+    step_idx) -> (state, stacked_metrics)``: ``lax.scan`` of the train step
+    over a leading chunk axis, one device dispatch for K optimizer steps.
+
+    On the tunneled axon chip each dispatch costs ~28 ms of transport
+    (PERF.md); every measured training row amortizes it 20x inside one
+    program (``tools/bench_train.py --chunk``).  This is that program for
+    the production ``Trainer``: batch arrays carry a leading ``K`` axis,
+    per-step RNG keys are derived INSIDE the program
+    (``fold_in(epoch_key, step_idx[k])`` — bit-identical to the per-batch
+    path's host-side fold), and the carried ``TrainState`` is donated.
+    """
+    step = _make_step_fn(model, schedule, tx, lambda_cat, ema_rate, chamfer_impl)
+
+    def scan_step(state: TrainState, mask, objs, cats, target, target_cat,
+                  text_emb, base_key, step_idx):
+        def body(st, xs):
+            m, o, c, tg, tc, te, idx = xs
+            k = jax.random.fold_in(base_key, idx)
+            return step(st, m, o, c, tg, tc, te, k)
+
+        xs = (mask, objs, cats, target, target_cat, text_emb, step_idx)
+        return jax.lax.scan(body, state, xs)
+
+    return jax.jit(scan_step, donate_argnums=0)
 
 
 def make_eval_step(model: SceneDiffusionModel, schedule, clip_denoised: bool = False):
@@ -160,6 +210,17 @@ class Trainer:
             self.model, self.schedule, self.tx, diff_cfg.lambda_cat,
             ema_rate=getattr(train_cfg, "ema_rate", 0.0),
         )
+        self.steps_per_dispatch = max(
+            1, int(getattr(train_cfg, "steps_per_dispatch", 1))
+        )
+        self._scan_step = (
+            make_scan_train_step(
+                self.model, self.schedule, self.tx, diff_cfg.lambda_cat,
+                ema_rate=getattr(train_cfg, "ema_rate", 0.0),
+            )
+            if self.steps_per_dispatch > 1
+            else None
+        )
         self._eval_step = make_eval_step(self.model, self.schedule)
         self.state: Optional[TrainState] = None
 
@@ -196,6 +257,31 @@ class Trainer:
             )
         return arrays
 
+    def _device_chunk(self, batches):
+        """Stack K host batches on a leading chunk axis for the scanned
+        multi-step program (one device_put + one dispatch per K steps)."""
+        fields = ("mask", "given_objs", "given_cats", "target_verts",
+                  "target_cat")
+        arrays = tuple(
+            jnp.asarray(np.stack([np.asarray(getattr(b, f)) for b in batches]))
+            for f in fields
+        ) + (
+            jnp.asarray(
+                np.stack([np.asarray(self.text_encoder.encode(b.text))
+                          for b in batches])
+            ),
+        )
+        if self.mesh is not None:
+            arrays = tuple(
+                jax.device_put(
+                    a, mesh_lib.stacked_batch_sharding(self.mesh, a.ndim)
+                )
+                for a in arrays
+            )
+        # scan_step order: mask, objs, cats, target, target_cat, text_emb
+        m, o, c, tg, tc, te = arrays
+        return m, o, c, tg, tc, te
+
     def train_epoch(self, loader: DataLoader, epoch: int, key) -> Dict[str, float]:
         assert self.state is not None, "call init_state first"
         # metrics stay ON DEVICE until epoch end: a float() per step is a
@@ -203,19 +289,43 @@ class Trainer:
         # behind the per-dispatch latency (~28 ms on the tunneled axon)
         # between every step. One device_get at the end fetches them all.
         step_metrics = []
-        for i, batch in enumerate(loader):
+        K = self.steps_per_dispatch
+
+        def one_step(i, batch):
             mask, objs, cats, target, target_cat, text_emb = self._device_batch(batch)
             step_key = jax.random.fold_in(key, epoch * 100003 + i)
             self.state, metrics = self._train_step(
                 self.state, mask, objs, cats, target, target_cat, text_emb, step_key
             )
             step_metrics.append(metrics)
+
+        pending = []  # (global step index, Batch) awaiting a full chunk
+        for i, batch in enumerate(loader):
+            if K <= 1:
+                one_step(i, batch)
+                continue
+            pending.append((i, batch))
+            if len(pending) == K:
+                idxs = np.asarray(
+                    [epoch * 100003 + j for j, _ in pending], np.uint32
+                )
+                arrays = self._device_chunk([b for _, b in pending])
+                self.state, metrics = self._scan_step(
+                    self.state, *arrays, key, jnp.asarray(idxs)
+                )
+                step_metrics.append(metrics)  # (K,) leaves
+                pending = []
+        # leftover (< K) batches run through the per-batch program — exact
+        # same update semantics, just without the dispatch amortization
+        for i, batch in pending:
+            one_step(i, batch)
         fetched = jax.device_get(step_metrics)
-        count = len(fetched)
+        count = 0
         totals: Dict[str, float] = {}
         for metrics in fetched:
+            count += int(np.asarray(next(iter(metrics.values()))).size)
             for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+                totals[k] = totals.get(k, 0.0) + float(np.sum(v))
         means = {k: v / max(count, 1) for k, v in totals.items()}
         for k, v in means.items():
             self.logger.log(f"train/{k}", v, step=epoch)

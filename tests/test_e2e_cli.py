@@ -40,6 +40,7 @@ def test_train_then_eval_cli(synth, tmp_path):
         "--objs_data_dir", f"{synth}/objs", "--save_dir", save,
         "--epochs", "1", "--batch_size", "2", "--diffusion_steps", "8",
         "--pcd_points", "32", "--platform", "cpu",
+        "--steps_per_dispatch", "2",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     ckpt = os.path.join(save, "best_model_train_loss.ckpt")

@@ -69,6 +69,42 @@ def test_sharded_train_step(shape):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_sharded_chunked_train_step():
+    """The scanned K-steps-per-dispatch program composes with the (4,2)
+    mesh: stacked batches sharded on axis 1 (data), replicated donated
+    state, finite metrics for every scanned step."""
+    from lsdm_tpu.train.trainer import make_scan_train_step
+
+    K = 2
+    mesh = mesh_lib.make_mesh((4, 2))
+    model = SceneDiffusionModel(TINY, obj_sharding=mesh_lib.obj_sharding(mesh))
+    schedule = make_schedule("cosine", 8)
+    tx = make_optimizer()
+    batches = [_batch(jax.random.PRNGKey(i)) for i in range(K)]
+    mask, objs, cats, target, target_cat, text = batches[0]
+    variables = model.init(
+        jax.random.PRNGKey(1), target, mask, jnp.zeros((B,), jnp.int32), objs,
+        cats, text,
+    )
+    state = jax.device_put(
+        create_train_state(variables, tx), mesh_lib.replicated(mesh)
+    )
+    stacked = tuple(jnp.stack(xs) for xs in zip(*batches))
+    put = lambda a: jax.device_put(
+        a, mesh_lib.stacked_batch_sharding(mesh, a.ndim)
+    )
+    scan_step = make_scan_train_step(model, schedule, tx)
+    new_state, metrics = scan_step(
+        state, *(put(a) for a in stacked), jax.random.PRNGKey(2),
+        jnp.arange(K, dtype=jnp.uint32),
+    )
+    jax.block_until_ready(new_state)
+    assert metrics["loss"].shape == (K,)
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+    assert int(new_state.step) == K
+    assert jax.tree.leaves(new_state.params)[0].sharding.is_fully_replicated
+
+
 def test_sharded_equals_single_device():
     """The 4x2-sharded step computes the same update as single-device."""
     model1 = SceneDiffusionModel(TINY)
