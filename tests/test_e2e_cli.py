@@ -114,7 +114,7 @@ def test_bench_train_composable_ablations():
                      "--batch", "2", "--chunk", "2", "--repeats", "1",
                      "--human_backbone", tower, "--ablate",
                      "pcd_backbone,human_backbone,denoise_head,optimizer,"
-                     "loss,rng"])
+                     "loss,rng,attn"])
         assert r.returncode == 0, f"{tower}: {r.stderr[-2000:]}"
         assert "train_steps_per_sec=" in r.stdout
     # unknown component names must error out, not run a misattributed bench

@@ -50,7 +50,7 @@ def main():
                          "attribute step time (diagnostic, not a training "
                          "mode): ballquery, fps, pcd_backbone, "
                          "human_backbone, denoise_head, optimizer, loss, "
-                         "rng")
+                         "rng, attn")
     ap.add_argument("--human_backbone", default=None,
                     choices=["POSA", "P2R"],
                     help="override the human-tower type (default: the "
@@ -93,7 +93,7 @@ def main():
 
     ablations = set((args.ablate or "").split(",")) - {""}
     known = {"ballquery", "fps", "pcd_backbone", "human_backbone",
-             "denoise_head", "optimizer", "loss", "rng"}
+             "denoise_head", "optimizer", "loss", "rng", "attn"}
     if ablations - known:
         ap.error(f"unknown --ablate component(s): {sorted(ablations - known)}")
 
@@ -186,6 +186,29 @@ def main():
             return {"loss": mse + cat, "mse": mse, "cat_loss": cat}
 
         _trainer.training_losses = _loss_stub
+    if "attn" in ablations:
+        # stub: identity-ish passthrough for the head_dim=1 pcd_attention
+        # (the ONLY head_dim=1 MHA in the model) — isolates the composed
+        # rank-1 attention's (B*O, 12, N, N) logits/weights HBM traffic,
+        # fwd AND bwd, from the rest of the step.  attn_layer (head_dim
+        # 16) and all projections stay real; tiny q/k means keep the
+        # stubbed path data-dependent (not constant-foldable).
+        import lsdm_tpu.ops.attention as _attn
+
+        _real_mha = _attn.multihead_attention
+
+        def _attn_stub(q, k, v, num_heads, attn_mask=None, dtype=jnp.float32):
+            B, L, E = q.shape
+            S = k.shape[1]
+            if E // num_heads != 1:
+                return _real_mha(q, k, v, num_heads, attn_mask=attn_mask,
+                                 dtype=dtype)
+            out = v.astype(dtype)[:, :L, :] + (
+                1e-30 * (jnp.mean(q) + jnp.mean(k))
+            ).astype(dtype)
+            return out, jnp.zeros((B, L, S), dtype)
+
+        _attn.multihead_attention = _attn_stub
     if "rng" in ablations:
         # stub: derive t/noise from raw key bits instead of threefry draws —
         # isolates the on-device RNG (randint + the (B, N, 3) normal) while
