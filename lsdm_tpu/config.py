@@ -81,6 +81,15 @@ class SDMConfig:
     # custom VJP (ops/sg_fused_pallas.py); "fused" is the eval-only
     # whole-stage kernel family.
     ball_impl: str = "auto"
+    # Train-time pcd_attention formulation: "xla" materializes the
+    # (B*objs, 12, N, N) logits/weights planes in HBM fwd+bwd; "pallas"
+    # runs the fused rank-1 kernel with a flash-style custom VJP
+    # (ops/attn_pallas.py:rank1_mha_train) — no (N, N) plane in HBM
+    # either direction.  Training CLIs resolve "auto" to "pallas" on a
+    # TPU backend (models/sampling.py:resolve_train_attn_impl); sharded-
+    # object contexts fall back to "xla" inside the model (no SPMD rule).
+    # Eval fusion is separately controlled by ball_impl == "fused".
+    attn_impl: str = "xla"
 
 
 def sdm_proxd() -> SDMConfig:

@@ -73,6 +73,25 @@ def resolve_train_ball_impl(ball_impl: str = "auto") -> str:
     return ball_impl
 
 
+def resolve_train_attn_impl(attn_impl: str = "auto") -> str:
+    """Resolve the train-time pcd_attention formulation (round 5).
+
+    On a real TPU backend ``"auto"`` resolves to ``"pallas"``: the fused
+    rank-1 kernel with the flash-style custom VJP
+    (``ops/attn_pallas.py:rank1_mha_train``) — neither direction
+    materializes the (B*objs, 12, N, N) logits/weights planes the
+    composed formulation writes to HBM.  On CPU ``"auto"`` resolves to
+    ``"xla"`` (the kernel would run in the Pallas interpreter).  The
+    model itself falls back to composed under a sharded object axis
+    (no SPMD rule) and for shapes the kernel declines (L % 8).
+    """
+    import jax
+
+    if attn_impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return attn_impl
+
+
 def sample_sdm(
     model: SceneDiffusionModel,
     variables,

@@ -140,6 +140,7 @@ class TorchMultiheadAttention(nn.Module):
         value: jax.Array,  # (B, S, vdim)
         attn_mask: Optional[jax.Array] = None,
         fused: bool = False,
+        fused_train: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         E = self.embed_dim
         init = nn.initializers.xavier_uniform()
@@ -161,6 +162,21 @@ class TorchMultiheadAttention(nn.Module):
             out = rank1_mha_pallas(
                 q, k, v, compute_dtype=self.dtype,
                 interpret=jax.default_backend() == "cpu")
+            out = TorchLinear(E, dtype=self.dtype, name="out_proj")(
+                out.astype(self.dtype))
+            return out, None
+
+        if (fused_train and self.num_heads == E and attn_mask is None
+                and q.shape[1] % 8 == 0):
+            # head_dim == 1 TRAIN fast path: same fused forward, plus a
+            # flash-style custom-VJP backward that recomputes the softmax
+            # in VMEM (ops/attn_pallas.py:rank1_mha_train) — the (L, S)
+            # plane never reaches HBM in either direction.  Weights are
+            # not computed; this path's callers discard them.
+            from lsdm_tpu.ops.attn_pallas import rank1_mha_train
+            out = rank1_mha_train(
+                q, k, v, jnp.dtype(self.dtype),
+                jax.default_backend() == "cpu")
             out = TorchLinear(E, dtype=self.dtype, name="out_proj")(
                 out.astype(self.dtype))
             return out, None

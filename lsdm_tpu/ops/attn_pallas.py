@@ -1,4 +1,4 @@
-"""Rank-1-head multihead attention as one Pallas kernel (eval mode).
+"""Rank-1-head multihead attention as Pallas kernels (eval + train).
 
 The SDM's ``pcd_attention`` (reference ``model/sdm.py:95,195``) is
 torch MHA with embed_dim == num_heads == 12, i.e. head_dim = 1, over
@@ -13,9 +13,18 @@ head, logits are ``q_h (BL,1) * k_h (1,S)`` (one VPU broadcast), the
 f32 softmax follows, and the value contraction is a (BL, S) x (S, 1)
 reduction.  The (L, S) plane never exists outside VMEM.
 
-Eval-only (no VJP); the composed path stays for training.  Numerics
-mirror ``multihead_attention``: scale = 1/sqrt(1) = 1, f32 logits and
-softmax, value contraction in ``compute_dtype`` with f32 accumulation.
+``rank1_mha_pallas`` is the eval kernel (no VJP).  ``rank1_mha_train``
+wraps the same forward in a ``custom_vjp`` whose backward is a second
+Pallas kernel: it *recomputes* the per-head softmax in VMEM
+(flash-attention style — the row statistics are cheap rank-1 work) and
+streams dq/dk/dv out, so training also never materializes the (L, S)
+plane in HBM.  The only saved residuals are (q, k, v, out); the
+softmax-grad row term uses the identity D_i = g_i * out_i available
+from the saved forward output (head_dim = 1 makes it elementwise).
+
+Numerics mirror ``multihead_attention``: scale = 1/sqrt(1) = 1, f32
+logits and softmax, value contraction in ``compute_dtype`` with f32
+accumulation; the backward computes everything in f32.
 """
 
 from __future__ import annotations
@@ -67,3 +76,95 @@ def rank1_mha_pallas(
         out_specs=pl.BlockSpec((1, BL, H), lambda b, l: (b, l, 0)),
         interpret=interpret,
     )(q.astype(jnp.float32), k.astype(jnp.float32), v)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, out_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, *, n_heads: int):
+    """Per-scene backward: recompute each head's (L, S) softmax plane in
+    VMEM and contract it against the cotangent — dq, dk, dv leave as
+    (·, H) tiles; the plane never reaches HBM."""
+    q = q_ref[0].astype(jnp.float32)               # (L, H)
+    k = k_ref[0].astype(jnp.float32)               # (S, H)
+    v = v_ref[0].astype(jnp.float32)               # (S, H)
+    out = out_ref[0].astype(jnp.float32)           # (L, H)
+    g = g_ref[0].astype(jnp.float32)               # (L, H) cotangent
+    dq_cols = []
+    for h in range(n_heads):
+        logits = q[:, h:h + 1] * k[:, h][None]     # (L, S) rank-1
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)  # (L, S)
+        # softmax-grad row term: D_i = sum_j w_ij g_i v_j = g_i * out_i
+        d_row = (g[:, h] * out[:, h])[:, None]      # (L, 1)
+        dlog = w * (g[:, h:h + 1] * v[:, h][None] - d_row)  # (L, S)
+        dq_cols.append(jnp.sum(dlog * k[:, h][None], axis=-1,
+                               keepdims=True))      # (L, 1)
+        # dk/dv rows leave K(head)-major via leading-dim-indexed 2-D
+        # stores — transposed back outside the kernel.  In-kernel (1, S)
+        # -> (S, 1) transposes are the Mosaic-rejected tiled-shape-cast
+        # class (lint_tiled_shape_casts, .bench_logs/bt_sg.log).
+        dk_ref[0, h] = jnp.sum(dlog * q[:, h:h + 1], axis=0,
+                               keepdims=True).astype(dk_ref.dtype)  # (1, S)
+        dv_ref[0, h] = jnp.sum(w * g[:, h:h + 1], axis=0,
+                               keepdims=True).astype(dv_ref.dtype)  # (1, S)
+    dq_ref[0] = jnp.concatenate(dq_cols, axis=-1).astype(dq_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _rank1_mha_bwd_pallas(q, k, v, out, g, interpret: bool = False):
+    B, L, H = q.shape
+    S = k.shape[1]
+    full3 = lambda b: (b, 0, 0)
+    full4 = lambda b: (b, 0, 0, 0)
+    dq, dk_hm, dv_hm = pl.pallas_call(
+        partial(_bwd_kernel, n_heads=H),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1, S), jnp.float32),
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, H), full3),
+            pl.BlockSpec((1, S, H), full3),
+            pl.BlockSpec((1, S, H), full3),
+            pl.BlockSpec((1, L, H), full3),
+            pl.BlockSpec((1, L, H), full3),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, L, H), full3),
+            pl.BlockSpec((1, H, 1, S), full4),
+            pl.BlockSpec((1, H, 1, S), full4),
+        ),
+        interpret=interpret,
+    )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+      out.astype(jnp.float32), g.astype(jnp.float32))
+    dk = jnp.transpose(dk_hm[:, :, 0, :], (0, 2, 1))  # (B, S, H)
+    dv = jnp.transpose(dv_hm[:, :, 0, :], (0, 2, 1))
+    return dq, dk, dv
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def rank1_mha_train(q, k, v, compute_dtype=jnp.float32,
+                    interpret: bool = False):
+    """Differentiable fused rank-1 MHA: same forward as
+    ``rank1_mha_pallas``; the VJP recomputes the softmax in a second
+    Pallas kernel (no (L, S) plane in HBM either direction)."""
+    return rank1_mha_pallas(q, k, v, compute_dtype=compute_dtype,
+                            interpret=interpret)
+
+
+def _train_fwd(q, k, v, compute_dtype, interpret):
+    out = rank1_mha_pallas(q, k, v, compute_dtype=compute_dtype,
+                           interpret=interpret)
+    return out, (q, k, v, out)
+
+
+def _train_bwd(compute_dtype, interpret, res, g):
+    q, k, v, out = res
+    dq, dk, dv = _rank1_mha_bwd_pallas(q, k, v, out, g,
+                                       interpret=interpret)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+
+
+rank1_mha_train.defvjp(_train_fwd, _train_bwd)

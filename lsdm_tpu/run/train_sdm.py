@@ -57,6 +57,12 @@ def main():
                          "for training) runs both directions as one-hot MXU "
                          "contractions — fastest measured; 'scatter' is the "
                          "bit-exact eval formulation (PERF.md round 3)")
+    ap.add_argument("--attn_impl", default="xla",
+                    choices=["auto", "xla", "pallas"],
+                    help="train-time pcd_attention: 'pallas' = fused "
+                         "rank-1 kernel with a flash-style custom VJP "
+                         "(no (N,N) logits plane in HBM either "
+                         "direction); 'auto' = pallas on a TPU backend")
     ap.add_argument("--ball_impl", default="auto",
                     choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "fused", "sg", "scatter",
                              "binsearch"],
@@ -93,12 +99,16 @@ def main():
             model_cfg, pcd_points=args.pcd_points,
             vert_dims=min(model_cfg.vert_dims, args.pcd_points),
         )
-    from lsdm_tpu.models.sampling import resolve_train_ball_impl
+    from lsdm_tpu.models.sampling import (
+        resolve_train_attn_impl,
+        resolve_train_ball_impl,
+    )
 
     model_cfg = dataclasses.replace(
         model_cfg, dtype=args.dtype, bn_dtype=args.bn_dtype,
         gather_bwd=args.gather_bwd,
         ball_impl=resolve_train_ball_impl(args.ball_impl),
+        attn_impl=resolve_train_attn_impl(args.attn_impl),
     )
     diff_cfg = DiffusionConfig(
         steps=args.diffusion_steps, noise_schedule=args.noise_schedule

@@ -174,3 +174,120 @@ def test_fused_denoise_step_bf16_matches_composed_bf16():
                           fused_step=True, fused_interpret=True)
     np.testing.assert_allclose(np.asarray(s_ref), np.asarray(s_fus),
                                atol=5e-2)
+
+
+def test_rank1_mha_train_matches_composed(rng):
+    """Fused train attention (custom flash-VJP): forward AND all three
+    input gradients match the composed head_dim=1 formulation."""
+    from lsdm_tpu.ops.attention import multihead_attention
+    from lsdm_tpu.ops.attn_pallas import rank1_mha_train
+
+    B, L, S, H = 3, 64, 64, 12
+    q = jnp.asarray(rng.randn(B, L, H).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, S, H).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, S, H).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, L, H).astype(np.float32))
+
+    def composed(q, k, v):
+        return multihead_attention(q, k, v, H)[0]
+
+    def fused(q, k, v):
+        return rank1_mha_train(q, k, v, jnp.float32, True)  # interpret
+
+    with jax.default_matmul_precision("highest"):
+        np.testing.assert_allclose(
+            np.asarray(fused(q, k, v)), np.asarray(composed(q, k, v)),
+            atol=2e-6)
+        g1 = jax.grad(lambda *a: jnp.sum(composed(*a) * g), (0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda *a: jnp.sum(fused(*a) * g), (0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-6,
+                                   err_msg=f"d{name}")
+
+
+def test_fused_train_attention_module_grads(rng):
+    """TorchMultiheadAttention(fused_train=True) matches the composed
+    module — output and parameter gradients — at the pcd_attention
+    geometry (embed 12 == heads 12, kdim = vdim = 3)."""
+    from lsdm_tpu.ops.attention import TorchMultiheadAttention
+
+    B, L, H = 2, 32, 12
+    mha = TorchMultiheadAttention(embed_dim=H, num_heads=H, kdim=3, vdim=3)
+    q = jnp.asarray(rng.randn(B, L, H).astype(np.float32))
+    xyz = jnp.asarray(rng.randn(B, L, 3).astype(np.float32))
+    variables = mha.init(jax.random.PRNGKey(0), q, xyz, xyz)
+
+    def loss(params, fused_train):
+        out, _ = mha.apply({"params": params}, q, xyz, xyz,
+                           fused_train=fused_train)
+        return jnp.sum(out ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        l1, grads1 = jax.value_and_grad(loss)(variables["params"], False)
+        l2, grads2 = jax.value_and_grad(loss)(variables["params"], True)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    flat1 = jax.tree.flatten_with_path(grads1)[0]
+    flat2 = jax.tree.flatten_with_path(grads2)[0]
+    for (p1, a), (p2, b) in zip(flat1, flat2):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5,
+                                   rtol=1e-4, err_msg=str(p1))
+
+
+@pytest.mark.slow
+def test_train_step_attn_impl_equivalence(rng):
+    """A full SDM train-graph value_and_grad with attn_impl='pallas'
+    (fused rank-1 attention + flash VJP, interpret mode) matches
+    attn_impl='xla' — loss and parameter-gradient norms."""
+    import dataclasses
+
+    from lsdm_tpu.config import SDMConfig
+    from lsdm_tpu.diffusion import make_schedule, training_losses
+    from lsdm_tpu.models.sdm import SceneDiffusionModel
+
+    TINY = SDMConfig(clip_dim=32, latent_dim=16, cat_emb=8, n_head=4,
+                     vert_dims=24, pcd_points=32)
+    B, O, N = 2, 9, 32
+    mask = jnp.zeros((B, O)).at[:, 1:4].set(1.0)
+    objs = jnp.asarray(rng.randn(B, O, N, 3).astype(np.float32)) * 0.3
+    cats = jax.nn.one_hot(jnp.asarray(rng.randint(0, 13, (B, O))), 13)
+    text = jnp.asarray(rng.randn(B, TINY.clip_dim).astype(np.float32))
+    target = jnp.asarray(rng.randn(B, N, 3).astype(np.float32)) * 0.2
+    target_cat = jax.nn.one_hot(jnp.array([2, 5]), 13)
+    noise = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    t = jnp.array([3, 11])
+    schedule = make_schedule("cosine", 16)
+
+    results = {}
+    for impl in ("xla", "pallas"):
+        model = SceneDiffusionModel(dataclasses.replace(TINY, attn_impl=impl))
+        variables = model.init(jax.random.PRNGKey(0), target, mask,
+                               jnp.zeros((B,), jnp.int32), objs, cats, text)
+
+        def loss_fn(params):
+            def model_fn(x_t, tt):
+                out, _ = model.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    x_t, mask, tt, objs, cats, text, True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(1)},
+                )
+                return out
+
+            return training_losses(schedule, model_fn, target, t,
+                                   target_cat, noise)["loss"]
+
+        with jax.default_matmul_precision("highest"):
+            loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+        results[impl] = (float(loss), jax.tree.map(np.asarray, grads))
+
+    np.testing.assert_allclose(results["pallas"][0], results["xla"][0],
+                               rtol=1e-5)
+    flat_x = jax.tree.flatten_with_path(results["xla"][1])[0]
+    flat_p = jax.tree.flatten_with_path(results["pallas"][1])[0]
+    for (p1, a), (p2, b) in zip(flat_x, flat_p):
+        assert p1 == p2
+        scale = max(float(np.abs(a).max()), 1e-3)
+        np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3,
+                                   err_msg=str(p1))

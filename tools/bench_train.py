@@ -45,6 +45,12 @@ def main():
                     choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "fused", "sg", "scatter",
                              "binsearch"],
                     help="ball-query formulation (PERF.md round 3)")
+    ap.add_argument("--attn_impl", default="xla",
+                    choices=["auto", "xla", "pallas"],
+                    help="train-time pcd_attention: composed XLA (HBM "
+                         "logits planes) vs the fused rank-1 kernel with "
+                         "the flash-style custom VJP; auto = pallas on "
+                         "TPU")
     ap.add_argument("--ablate", default=None,
                     help="comma-separated components to stub out to "
                          "attribute step time (diagnostic, not a training "
@@ -85,9 +91,12 @@ def main():
                         vert_dims=24, pcd_points=32)
     else:
         cfg = cfg_lib.sdm_proxd()
+    from lsdm_tpu.models.sampling import resolve_train_attn_impl
+
     cfg = dataclasses.replace(cfg, dtype=args.dtype, bn_dtype=args.bn_dtype,
                               gather_bwd=args.gather_bwd,
-                              ball_impl=args.ball_impl)
+                              ball_impl=args.ball_impl,
+                              attn_impl=resolve_train_attn_impl(args.attn_impl))
     if args.human_backbone:
         cfg = dataclasses.replace(cfg, human_backbone_type=args.human_backbone)
 

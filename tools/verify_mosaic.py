@@ -354,8 +354,30 @@ def case_attn():
     return ok
 
 
+def case_attn_train():
+    from lsdm_tpu.ops.attn_pallas import rank1_mha_train
+
+    ok = True
+    # the differentiated train program (fwd kernel + flash-VJP bwd kernel)
+    # at the flagship train batch (B*O = 54), both compute dtypes, plus
+    # the tiny smoke batch point
+    for B, cdt in ((54, jnp.bfloat16), (54, jnp.float32), (4, jnp.float32)):
+        def fwd_bwd(q, k, v, g, cdt=cdt):
+            out, vjp = jax.vjp(
+                lambda a, b, c: rank1_mha_train(a, b, c, cdt, False),
+                q, k, v)
+            return out, vjp(g)
+
+        z = jnp.zeros((B, 1024, 12))
+        ok &= _export_tpu(
+            f"rank1_mha_train fwd+bwd (B{B} L1024 H12, "
+            f"{jnp.dtype(cdt).name})", fwd_bwd, z, z, z, z)
+    return ok
+
+
 CASES = {
     "attn": case_attn,
+    "attn_train": case_attn_train,
     "ballquery": case_ballquery,
     "chamfer": case_chamfer,
     "denoise": case_denoise,
