@@ -241,46 +241,40 @@ class Trainer:
         )
         return self.state
 
-    def _device_batch(self, b: Batch):
-        arrays = (
-            jnp.asarray(b.mask),
-            jnp.asarray(b.given_objs),
-            jnp.asarray(b.given_cats),
-            jnp.asarray(b.target_verts),
-            jnp.asarray(b.target_cat),
-            jnp.asarray(self.text_encoder.encode(b.text)),
+    # step/scan_step argument order — the single source of the Batch ->
+    # array mapping shared by the per-batch and chunked paths
+    _BATCH_FIELDS = ("mask", "given_objs", "given_cats", "target_verts",
+                     "target_cat")
+
+    def _host_arrays(self, b: Batch):
+        return tuple(np.asarray(getattr(b, f)) for f in self._BATCH_FIELDS) + (
+            np.asarray(self.text_encoder.encode(b.text)),
         )
+
+    def _device_batch(self, b: Batch):
+        arrays = self._host_arrays(b)
         if self.mesh is not None:
-            arrays = tuple(
+            return tuple(
                 jax.device_put(a, mesh_lib.batch_sharding(self.mesh, a.ndim))
                 for a in arrays
             )
-        return arrays
+        return tuple(jnp.asarray(a) for a in arrays)
 
     def _device_chunk(self, batches):
         """Stack K host batches on a leading chunk axis for the scanned
-        multi-step program (one device_put + one dispatch per K steps)."""
-        fields = ("mask", "given_objs", "given_cats", "target_verts",
-                  "target_cat")
-        arrays = tuple(
-            jnp.asarray(np.stack([np.asarray(getattr(b, f)) for b in batches]))
-            for f in fields
-        ) + (
-            jnp.asarray(
-                np.stack([np.asarray(self.text_encoder.encode(b.text))
-                          for b in batches])
-            ),
-        )
+        multi-step program (one device_put + one dispatch per K steps).
+        Host arrays go straight to their target sharding — no staging
+        commit on the default device."""
+        per = [self._host_arrays(b) for b in batches]
+        stacked = tuple(np.stack(xs) for xs in zip(*per))
         if self.mesh is not None:
-            arrays = tuple(
+            return tuple(
                 jax.device_put(
                     a, mesh_lib.stacked_batch_sharding(self.mesh, a.ndim)
                 )
-                for a in arrays
+                for a in stacked
             )
-        # scan_step order: mask, objs, cats, target, target_cat, text_emb
-        m, o, c, tg, tc, te = arrays
-        return m, o, c, tg, tc, te
+        return tuple(jnp.asarray(a) for a in stacked)
 
     def train_epoch(self, loader: DataLoader, epoch: int, key) -> Dict[str, float]:
         assert self.state is not None, "call init_state first"

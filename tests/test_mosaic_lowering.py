@@ -19,8 +19,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.parametrize("family",
-                         ["attn", "ballquery", "chamfer", "denoise", "fp",
-                          "fps", "sa", "sg"])
+                         ["attn", "attn_train", "ballquery", "chamfer",
+                          "denoise", "fp", "fps", "sa", "sg"])
 def test_mosaic_lowering(family):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "verify_mosaic.py"),

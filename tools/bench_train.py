@@ -105,6 +105,12 @@ def main():
              "denoise_head", "optimizer", "loss", "rng", "attn"}
     if ablations - known:
         ap.error(f"unknown --ablate component(s): {sorted(ablations - known)}")
+    if "attn" in ablations and args.attn_impl != "xla":
+        # the attn stub patches the composed multihead_attention; the
+        # fused_train branch never reaches it, so the measurement would
+        # silently run the fused kernel un-stubbed
+        ap.error("--ablate attn requires --attn_impl xla (the stub "
+                 "replaces the composed formulation only)")
 
     if "ballquery" in ablations:
         # stub: first-K indices instead of the radius search — isolates the
@@ -248,8 +254,16 @@ def main():
     schedule = make_schedule("cosine", 20 if args.smoke else 1000)
 
     if "rng" in ablations:
-        # see the ablation comment above: key-bit-derived t/noise, no
-        # threefry inside the step (init and input data already drawn)
+        # see the ablation comment above: key-bit-derived t/noise and
+        # broadcast "splits", so no threefry hashing (randint, normal,
+        # OR the per-step split in the chunk body / step) runs inside
+        # the step (init and inputs already drawn with real randoms).
+        def _split_stub(key, num=2):
+            k = jnp.asarray(key)
+            return jnp.broadcast_to(k[None], (num,) + k.shape)
+
+        jax.random.split = _split_stub
+
         def _randint_stub(key, shape, minval, maxval, dtype=jnp.int32):
             k = jnp.asarray(key).reshape(-1)[0].astype(jnp.uint32)
             return jnp.broadcast_to(
@@ -261,8 +275,12 @@ def main():
             return jnp.broadcast_to(
                 (k.astype(jnp.float32) * 1e-10).astype(dtype), shape)
 
+        def _bernoulli_stub(key, p=0.5, shape=None):
+            return jnp.ones(() if shape is None else shape, jnp.bool_)
+
         jax.random.randint = _randint_stub
         jax.random.normal = _normal_stub
+        jax.random.bernoulli = _bernoulli_stub  # backbone-head dropout
 
     step = make_train_step(model, schedule, tx, chamfer_impl=args.chamfer)
 
