@@ -80,33 +80,44 @@ def rank1_mha_pallas(
 
 def _bwd_kernel(q_ref, k_ref, v_ref, out_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, *, n_heads: int):
-    """Per-scene backward: recompute each head's (L, S) softmax plane in
-    VMEM and contract it against the cotangent — dq, dk, dv leave as
-    (·, H) tiles; the plane never reaches HBM."""
-    q = q_ref[0].astype(jnp.float32)               # (L, H)
+    """Per-(scene, query-tile) backward: recompute each head's (BL, S)
+    softmax plane in VMEM and contract it against the cotangent.  dq
+    leaves per query tile; dk/dv ACCUMULATE across the query-tile grid
+    axis into a revisited per-scene block (the tile axis is innermost,
+    so the block stays resident).  The (L, S) plane never reaches HBM,
+    and peak VMEM is ~3 (BL, S) f32 planes (~3 MB at BL=256, S=1024)
+    instead of the full-L ~12 MB that would crowd the ~16 MB core."""
+    lt = pl.program_id(1)
+
+    @pl.when(lt == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros(dk_ref.shape, dk_ref.dtype)
+        dv_ref[...] = jnp.zeros(dv_ref.shape, dv_ref.dtype)
+
+    q = q_ref[0].astype(jnp.float32)               # (BL, H)
     k = k_ref[0].astype(jnp.float32)               # (S, H)
     v = v_ref[0].astype(jnp.float32)               # (S, H)
-    out = out_ref[0].astype(jnp.float32)           # (L, H)
-    g = g_ref[0].astype(jnp.float32)               # (L, H) cotangent
+    out = out_ref[0].astype(jnp.float32)           # (BL, H)
+    g = g_ref[0].astype(jnp.float32)               # (BL, H) cotangent
     dq_cols = []
     for h in range(n_heads):
-        logits = q[:, h:h + 1] * k[:, h][None]     # (L, S) rank-1
+        logits = q[:, h:h + 1] * k[:, h][None]     # (BL, S) rank-1
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
-        w = e / jnp.sum(e, axis=-1, keepdims=True)  # (L, S)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)  # (BL, S)
         # softmax-grad row term: D_i = sum_j w_ij g_i v_j = g_i * out_i
-        d_row = (g[:, h] * out[:, h])[:, None]      # (L, 1)
-        dlog = w * (g[:, h:h + 1] * v[:, h][None] - d_row)  # (L, S)
+        d_row = (g[:, h] * out[:, h])[:, None]      # (BL, 1)
+        dlog = w * (g[:, h:h + 1] * v[:, h][None] - d_row)  # (BL, S)
         dq_cols.append(jnp.sum(dlog * k[:, h][None], axis=-1,
-                               keepdims=True))      # (L, 1)
+                               keepdims=True))      # (BL, 1)
         # dk/dv rows leave K(head)-major via leading-dim-indexed 2-D
         # stores — transposed back outside the kernel.  In-kernel (1, S)
         # -> (S, 1) transposes are the Mosaic-rejected tiled-shape-cast
         # class (lint_tiled_shape_casts, .bench_logs/bt_sg.log).
-        dk_ref[0, h] = jnp.sum(dlog * q[:, h:h + 1], axis=0,
-                               keepdims=True).astype(dk_ref.dtype)  # (1, S)
-        dv_ref[0, h] = jnp.sum(w * g[:, h:h + 1], axis=0,
-                               keepdims=True).astype(dv_ref.dtype)  # (1, S)
+        dk_ref[0, h] = dk_ref[0, h] + jnp.sum(
+            dlog * q[:, h:h + 1], axis=0, keepdims=True)  # (1, S)
+        dv_ref[0, h] = dv_ref[0, h] + jnp.sum(
+            w * g[:, h:h + 1], axis=0, keepdims=True)     # (1, S)
     dq_ref[0] = jnp.concatenate(dq_cols, axis=-1).astype(dq_ref.dtype)
 
 
@@ -114,8 +125,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, out_ref, g_ref,
 def _rank1_mha_bwd_pallas(q, k, v, out, g, interpret: bool = False):
     B, L, H = q.shape
     S = k.shape[1]
-    full3 = lambda b: (b, 0, 0)
-    full4 = lambda b: (b, 0, 0, 0)
+    BL = 256 if L % 256 == 0 else L
+    qtile = lambda b, l: (b, l, 0)
+    full3 = lambda b, l: (b, 0, 0)
+    acc4 = lambda b, l: (b, 0, 0, 0)  # revisited across the l axis
     dq, dk_hm, dv_hm = pl.pallas_call(
         partial(_bwd_kernel, n_heads=H),
         out_shape=(
@@ -123,18 +136,18 @@ def _rank1_mha_bwd_pallas(q, k, v, out, g, interpret: bool = False):
             jax.ShapeDtypeStruct((B, H, 1, S), jnp.float32),
             jax.ShapeDtypeStruct((B, H, 1, S), jnp.float32),
         ),
-        grid=(B,),
+        grid=(B, L // BL),  # l innermost: dk/dv blocks stay resident
         in_specs=[
-            pl.BlockSpec((1, L, H), full3),
+            pl.BlockSpec((1, BL, H), qtile),
             pl.BlockSpec((1, S, H), full3),
             pl.BlockSpec((1, S, H), full3),
-            pl.BlockSpec((1, L, H), full3),
-            pl.BlockSpec((1, L, H), full3),
+            pl.BlockSpec((1, BL, H), qtile),
+            pl.BlockSpec((1, BL, H), qtile),
         ],
         out_specs=(
-            pl.BlockSpec((1, L, H), full3),
-            pl.BlockSpec((1, H, 1, S), full4),
-            pl.BlockSpec((1, H, 1, S), full4),
+            pl.BlockSpec((1, BL, H), qtile),
+            pl.BlockSpec((1, H, 1, S), acc4),
+            pl.BlockSpec((1, H, 1, S), acc4),
         ),
         interpret=interpret,
     )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),

@@ -291,3 +291,29 @@ def test_train_step_attn_impl_equivalence(rng):
         scale = max(float(np.abs(a).max()), 1e-3)
         np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3,
                                    err_msg=str(p1))
+
+
+def test_rank1_mha_train_multitile_accumulation(rng):
+    """L=512 runs the backward as two 256-row query tiles that ACCUMULATE
+    dk/dv into a revisited block — pins the @pl.when init + accumulate
+    semantics the single-tile shapes above never reach."""
+    from lsdm_tpu.ops.attention import multihead_attention
+    from lsdm_tpu.ops.attn_pallas import rank1_mha_train
+
+    B, L, S, H = 2, 512, 512, 12
+    q = jnp.asarray(rng.randn(B, L, H).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, S, H).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, S, H).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, L, H).astype(np.float32))
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(
+            lambda *a: jnp.sum(multihead_attention(*a, H)[0] * g), (0, 1, 2)
+        )(q, k, v)
+        g2 = jax.grad(
+            lambda *a: jnp.sum(rank1_mha_train(*a, jnp.float32, True) * g),
+            (0, 1, 2),
+        )(q, k, v)
+    for name, a, b in zip("qkv", g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5,
+                                   err_msg=f"d{name}")
