@@ -38,8 +38,10 @@ def main():
                     help="linear LR anneal horizon (0 = constant)")
     ap.add_argument("--steps_per_dispatch", type=int, default=1,
                     help="optimizer steps per device dispatch (K>1 scans K "
-                         "stacked batches in one compiled program — "
-                         "amortizes the ~28 ms tunnel dispatch, PERF.md)")
+                         "stacked batches in one compiled program). Measured "
+                         "NEGATIVE on-chip (PERF.md spd_train_k20, -14%%): the "
+                         "default loop already hides dispatch latency via "
+                         "async dispatch, so keep the default 1")
     ap.add_argument("--diffusion_steps", type=int, default=1000)
     ap.add_argument("--noise_schedule", default="cosine")
     ap.add_argument("--pcd_points", type=int, default=None,
