@@ -13,7 +13,8 @@ the best mesh per contact cluster:
       + ``best_obj_id.json``
 
 The reference's ``fit_prob_obj.py`` is broken upstream (missing imports,
-truncated, SURVEY.md §2.6) and intentionally has no counterpart here.
+truncated, SURVEY.md §2.6); ``run/fit_prob_obj.py`` is a working
+reconstruction of its evident intent over this module's primitives.
 """
 
 from __future__ import annotations

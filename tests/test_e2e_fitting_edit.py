@@ -123,3 +123,48 @@ def test_vis_html_viewer(tmp_path, rng):
     assert len(data["frames"]) == 4
     assert data["objects"] and data["objects"][0]["edges"]
     assert data["radius"] > 0
+
+
+def test_fit_prob_obj_cli(tmp_path, rng):
+    """Probabilistic fitting (reconstructed fit_prob_obj): contact PROBS
+    concentrated on 'table' near a blob -> per-draw fits + prob_fit.json
+    with the cross-draw placement spread."""
+    from lsdm_tpu.fitting.meshio import write_obj
+    from lsdm_tpu.ops.spiral import grid_mesh
+
+    T, V = 4, 96
+    seq = rng.randn(T, V, 3).astype(np.float32) * 0.3
+    seq[:, :, 2] = np.abs(seq[:, :, 2])
+    # a stable vertex subset sits near (1.0, 0.4, 0.2): give it high
+    # probability of class 5 ('table' in the 8-class subset)
+    seq[:, :40] = (rng.rand(T, 40, 3).astype(np.float32) - 0.5) * np.array(
+        [0.5, 0.5, 0.05], np.float32) + np.array([1.0, 0.4, 0.2], np.float32)
+    probs = np.zeros((T, V, 8), np.float32)
+    probs[..., 0] = 1.0
+    probs[:, :40, 0] = 0.05
+    probs[:, :40, 5] = 0.95
+    np.save(tmp_path / "verts.npy", seq)
+    np.save(tmp_path / "probs.npy", probs)
+    os.makedirs(tmp_path / "objlib" / "table")
+    v, f = grid_mesh(5)
+    write_obj(str(tmp_path / "objlib" / "table" / "t0.obj"),
+              v * np.array([0.6, 0.6, 0.05]), f)
+
+    out = str(tmp_path / "probout")
+    r = run_cli([
+        "lsdm_tpu.run.fit_prob_obj", "seq0", str(tmp_path / "verts.npy"),
+        str(tmp_path / "probs.npy"), "2",
+        "--obj_lib", str(tmp_path / "objlib"), "--output_dir", out,
+        "--sdf_dim", "32", "--down_sample", "1", "--platform", "cpu",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.load(open(os.path.join(out, "prob_fit.json")))
+    assert summary["sample_count"] == 2 and len(summary["samples"]) == 2
+    assert summary["best_sample"] is not None
+    best = summary["samples"][summary["best_sample"]]["fits"]
+    assert best and best[0]["class"] == "table" and best[0]["obj_id"] == "t0"
+    # the MAP draw's fitted center lands near the blob
+    assert abs(best[0]["center"][0] - 1.0) < 0.5
+    assert "table" in summary["placement_spread"]
+    # per-draw output trees exist
+    assert os.path.isdir(os.path.join(out, "sample_00", "fit_best_obj"))

@@ -158,3 +158,27 @@ def test_fit_cluster_end_to_end(tmp_path, rng):
     # fitted points land on the cluster
     center_err = np.abs(pts[:, :2].mean(0) - cluster[:, :2].mean(0))
     assert (center_err < 0.3).all()
+
+
+def test_sample_label_draws_map_and_determinism(rng):
+    """fit_prob_obj's label sampler: draw 0 is the argmax/MAP assignment,
+    stochastic draws are seed-deterministic and follow the distribution."""
+    from lsdm_tpu.run.fit_prob_obj import sample_label_draws
+
+    T, V, C = 3, 200, 8
+    logits = rng.randn(T, V, C).astype(np.float32) * 2.0
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+
+    draws = sample_label_draws(probs, 4, seed=7)
+    assert draws.shape == (4, T, V) and draws.dtype == np.int32
+    np.testing.assert_array_equal(draws[0], probs.argmax(-1))
+    # seed-deterministic, and logits in == probs in (softmax normalization)
+    np.testing.assert_array_equal(draws, sample_label_draws(probs, 4, seed=7))
+    np.testing.assert_array_equal(draws, sample_label_draws(logits, 4, seed=7))
+    assert (draws[1] != draws[2]).any()  # independent draws differ
+    # a near-delta distribution samples its mode (distribution sanity)
+    peaked = np.full((1, 50, C), 1e-6, np.float32)
+    peaked[..., 3] = 1.0
+    assert (sample_label_draws(peaked / peaked.sum(-1, keepdims=True),
+                               3, seed=0) == 3).mean() > 0.99
