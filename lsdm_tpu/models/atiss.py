@@ -386,6 +386,11 @@ class AutoregressiveTransformer(nn.Module):
     # this flag; default False = the intended (upstream-ATISS) token-axis
     # attention, which is also the sane TPU design.
     torch_seq_axis_quirk: bool = False
+    # per-property sinusoidal-encoding / class-projection widths — 64 in the
+    # base class (base.py:13-26, :129); the PE variant narrows both to 60 to
+    # make room for its learned slot embedding
+    prop_pe_dims: int = 64
+    class_feat_dims: int = 64
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -406,7 +411,8 @@ class AutoregressiveTransformer(nn.Module):
             self.feature_extractor = RoomFeatureExtractor(self.feature_size,
                                                           self.dtype)
         self.fc_room_f = TorchLinear(D, dtype=self.dtype)
-        self.fc_class = TorchLinear(64, use_bias=False, dtype=self.dtype)
+        self.fc_class = TorchLinear(self.class_feat_dims, use_bias=False,
+                                    dtype=self.dtype)
         if self.contact:
             self.contact_fc = TorchLinear(16, use_bias=False, dtype=self.dtype)
         self.empty_token_embedding = self.param(
@@ -434,15 +440,16 @@ class AutoregressiveTransformer(nn.Module):
 
     def _box_tokens(self, boxes: Dict[str, jax.Array]) -> jax.Array:
         class_f = self.fc_class(boxes["class_labels"].astype(jnp.float32))
+        P = self.prop_pe_dims
         tr = boxes["translations"]
         pos_f = jnp.concatenate(
-            [fixed_positional_encoding(tr[..., i : i + 1]) for i in range(3)], -1
+            [fixed_positional_encoding(tr[..., i : i + 1], P) for i in range(3)], -1
         )
         sz = boxes["sizes"]
         size_f = jnp.concatenate(
-            [fixed_positional_encoding(sz[..., i : i + 1]) for i in range(3)], -1
+            [fixed_positional_encoding(sz[..., i : i + 1], P) for i in range(3)], -1
         )
-        angle_f = fixed_positional_encoding(boxes["angles"])
+        angle_f = fixed_positional_encoding(boxes["angles"], P)
         feats = [class_f, pos_f, size_f, angle_f]
         if self.contact:
             contact_f = self.contact_fc(boxes["contact_labels"].astype(jnp.float32))
@@ -546,6 +553,57 @@ class AutoregressiveTransformer(nn.Module):
         ``scalar_head=False``."""
         F = self.encode(boxes)
         return self.hidden2output.pred_dmll_params_translation(F, class_label)
+
+
+class AutoregressiveTransformerPE(AutoregressiveTransformer):
+    """Learned-slot-position ATISS variant (reference
+    ``AutoregressiveTransformerPE``, ``autoregressive_transformer.py:470-584``),
+    REPAIRED — upstream the class cannot execute for any input: ``forward``
+    references an undefined ``lengths`` (``:541``, NameError), and the token
+    width is internally inconsistent — 60-dim per-property encodings except
+    a single 64-dim ``pe_size_z`` outlier (``:491``) give
+    60 + 3·60 + (60+60+64) + 60 + 32 = 516-wide box tokens concatenated
+    beside the (1, 512) start/empty tokens (``:474-475,534-536``), which
+    crashes the cat.  SURVEY.md §2.5 documents the exclusion; this class is
+    the evident intent with both bugs fixed: ``pe_size_z`` 64 -> 60 like
+    every sibling encoding (the visible typo), making box tokens
+    60 (class) + 180 (pos) + 180 (size) + 60 (angle) + 32 (learned slot
+    embedding) = 512 = d_model, and masking flows through the base class's
+    ``valid_mask`` key-padding bias instead of the undefined ``lengths``.
+
+    vs the base class: property encodings and the class projection are
+    60-wide (not 64), and each box slot ``i`` adds a LEARNED 32-dim
+    positional embedding (``positional_embedding[i]``, max 32 slots) — the
+    token sequence becomes order-aware, which is the variant's point.
+    No torch checkpoints of this class can exist (it never ran), so
+    ``convert_atiss_state_dict`` intentionally has no mapping for it.
+    """
+
+    prop_pe_dims: int = 60
+    class_feat_dims: int = 60
+    slot_pe_dims: int = 32
+    max_seq_length: int = 32  # reference :479
+
+    def setup(self):
+        if self.contact:
+            raise ValueError("the PE variant is ATISS-only upstream")
+        super().setup()
+        self.positional_embedding = self.param(
+            "positional_embedding", nn.initializers.normal(1.0),
+            (self.max_seq_length, self.slot_pe_dims), jnp.float32,
+        )
+
+    def _box_tokens(self, boxes: Dict[str, jax.Array]) -> jax.Array:
+        X = super()._box_tokens(boxes)  # (B, L, 480)
+        B, L = X.shape[:2]
+        if L > self.max_seq_length:
+            raise ValueError(
+                f"{L} box slots > max_seq_length={self.max_seq_length}")
+        pe = jnp.broadcast_to(
+            self.positional_embedding[None, :L].astype(X.dtype),
+            (B, L, self.slot_pe_dims),
+        )
+        return jnp.concatenate([X, pe], axis=-1)  # (B, L, 512)
 
 
 def MIME(n_classes: int, **kw) -> AutoregressiveTransformer:

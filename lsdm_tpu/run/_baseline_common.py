@@ -65,7 +65,8 @@ def boxes_from_batch(batch, num_classes: int, contact: bool = False) -> Dict:
 
 
 def build_model(kind: str, num_classes: int, args=None):
-    from lsdm_tpu.models.atiss import MIME, AutoregressiveTransformer
+    from lsdm_tpu.models.atiss import (
+        MIME, AutoregressiveTransformer, AutoregressiveTransformerPE)
 
     input_dims = num_classes + 7  # reference run/train_atiss.py:289-291
     kw = {}
@@ -80,6 +81,11 @@ def build_model(kind: str, num_classes: int, args=None):
         )
     if kind == "mime":
         return MIME(n_classes=input_dims, **kw), input_dims
+    # reference networks/__init__.py:85 network_type
+    # "autoregressive_transformer_pe" — the learned-slot-PE variant
+    # (repaired; models/atiss.py:AutoregressiveTransformerPE)
+    if kind == "atiss_pe" or getattr(args, "pe", False):
+        return AutoregressiveTransformerPE(n_classes=input_dims, **kw), input_dims
     return AutoregressiveTransformer(n_classes=input_dims, **kw), input_dims
 
 
@@ -371,6 +377,10 @@ def make_arg_parser(train: bool):
                          "networks/__init__.py:78), else simple")
     ap.add_argument("--no_freeze_bn", action="store_true",
                     help="train resnet18 BN live instead of frozen stats")
+    ap.add_argument("--pe", action="store_true",
+                    help="use the learned-slot-positional-embedding variant "
+                         "(reference network_type autoregressive_transformer_pe"
+                         ", repaired — models/atiss.py)")
     ap.add_argument("--torch_seq_axis_quirk", default=None,
                     action=argparse.BooleanOptionalAction,
                     help="reproduce the LSDM fork's batch-axis attention; "

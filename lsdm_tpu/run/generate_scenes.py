@@ -25,7 +25,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--load_model", required=True,
                     help=".ckpt (ours) or reference .pt")
-    ap.add_argument("--kind", default="atiss", choices=["atiss", "mime"])
+    ap.add_argument("--kind", default="atiss",
+                    choices=["atiss", "atiss_pe", "mime"])
     ap.add_argument("--datatype", default="proxd",
                     choices=["proxd", "humanise"])
     ap.add_argument("--n_scenes", type=int, default=4)

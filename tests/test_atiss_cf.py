@@ -208,3 +208,68 @@ def test_bridge_model_end_to_end(atiss):
     out = bridge(objs, cats, mask)
     assert out.class_labels.shape == (2, 1, N_CLASSES)
     assert np.isfinite(np.asarray(out.translations_x)).all()
+
+
+def test_atiss_pe_variant_order_aware():
+    """Repaired AutoregressiveTransformerPE (models/atiss.py): 512-wide
+    tokens (60-dim property encodings + 32-dim learned slot embedding);
+    the slot embedding makes the encoder ORDER-aware where the base class
+    is permutation-invariant; gradients flow to the embedding."""
+    from lsdm_tpu.models.atiss import AutoregressiveTransformerPE
+
+    model = AutoregressiveTransformerPE(
+        n_classes=N_CLASSES, n_layers=2, dim_ff=128, hidden_dims=128
+    )
+    boxes = make_boxes()
+    variables = model.init(jax.random.PRNGKey(0), boxes)
+    assert variables["params"]["positional_embedding"].shape == (32, 32)
+    out = model.apply(variables, boxes)
+    assert out.class_labels.shape == (2, 1, N_CLASSES)
+    for m in out.members:
+        assert np.isfinite(np.asarray(m)).all()
+
+    def permuted(b):
+        seq_keys = ("class_labels", "translations", "sizes", "angles")
+        return {k: (v[:, ::-1] if k in seq_keys else v) for k, v in b.items()}
+
+    enc = lambda mdl, vs, b: mdl.apply(vs, b, method=mdl.encode)
+    f, f_perm = enc(model, variables, boxes), enc(model, variables, permuted(boxes))
+    assert not np.allclose(np.asarray(f), np.asarray(f_perm), atol=1e-5)
+
+    # contrast: the base class (no slot embedding) is permutation-invariant
+    base = AutoregressiveTransformer(
+        n_classes=N_CLASSES, n_layers=2, dim_ff=128, hidden_dims=128
+    )
+    bvars = base.init(jax.random.PRNGKey(0), boxes)
+    np.testing.assert_allclose(
+        np.asarray(enc(base, bvars, boxes)),
+        np.asarray(enc(base, bvars, permuted(boxes))), atol=1e-5)
+
+    # gradient flows into the learned slot embedding
+    def loss(params):
+        o = model.apply({"params": params}, boxes)
+        return sum(jnp.sum(m**2) for m in o.members)
+
+    g = jax.grad(loss)(variables["params"])["positional_embedding"]
+    assert float(jnp.abs(g[:4]).sum()) > 0  # used slots get gradient
+    np.testing.assert_allclose(np.asarray(g[4:]), 0.0)  # unused slots don't
+
+
+def test_atiss_pe_guards_and_factory():
+    from lsdm_tpu.models.atiss import AutoregressiveTransformerPE
+    from lsdm_tpu.run._baseline_common import build_model
+
+    model, input_dims = build_model("atiss_pe", N_CLASSES - 7)
+    assert isinstance(model, AutoregressiveTransformerPE)
+    assert input_dims == N_CLASSES
+
+    with pytest.raises(ValueError, match="max_seq_length"):
+        m = AutoregressiveTransformerPE(
+            n_classes=N_CLASSES, n_layers=1, dim_ff=64, hidden_dims=64)
+        m.init(jax.random.PRNGKey(0), make_boxes(L=33))
+
+    with pytest.raises(ValueError, match="ATISS-only"):
+        m = AutoregressiveTransformerPE(
+            n_classes=N_CLASSES, n_layers=1, dim_ff=64, hidden_dims=64,
+            contact=True)
+        m.init(jax.random.PRNGKey(0), make_boxes(contact=True))
