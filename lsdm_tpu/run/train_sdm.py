@@ -59,12 +59,14 @@ def main():
                          "for training) runs both directions as one-hot MXU "
                          "contractions — fastest measured; 'scatter' is the "
                          "bit-exact eval formulation (PERF.md round 3)")
-    ap.add_argument("--attn_impl", default="xla",
+    ap.add_argument("--attn_impl", default="auto",
                     choices=["auto", "xla", "pallas"],
                     help="train-time pcd_attention: 'pallas' = fused "
                          "rank-1 kernel with a flash-style custom VJP "
                          "(no (N,N) logits plane in HBM either "
-                         "direction); 'auto' = pallas on a TPU backend")
+                         "direction); 'auto' (default) = pallas on a "
+                         "TPU backend — +21.5%% train throughput "
+                         "(23.1 vs 19.0 steps/s, PERF.md round 5)")
     ap.add_argument("--ball_impl", default="auto",
                     choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "fused", "sg", "scatter",
                              "binsearch"],

@@ -45,12 +45,13 @@ def main():
                     choices=["auto", "topk", "topk_p", "topk2", "topk2c", "pallas", "fused", "sg", "scatter",
                              "binsearch"],
                     help="ball-query formulation (PERF.md round 3)")
-    ap.add_argument("--attn_impl", default="xla",
+    ap.add_argument("--attn_impl", default="auto",
                     choices=["auto", "xla", "pallas"],
                     help="train-time pcd_attention: composed XLA (HBM "
                          "logits planes) vs the fused rank-1 kernel with "
-                         "the flash-style custom VJP; auto = pallas on "
-                         "TPU")
+                         "the flash-style custom VJP; auto (default, "
+                         "matching the run/train_sdm default) = pallas "
+                         "on TPU")
     ap.add_argument("--ablate", default=None,
                     help="comma-separated components to stub out to "
                          "attribute step time (diagnostic, not a training "
@@ -93,10 +94,11 @@ def main():
         cfg = cfg_lib.sdm_proxd()
     from lsdm_tpu.models.sampling import resolve_train_attn_impl
 
+    attn_impl = resolve_train_attn_impl(args.attn_impl)
     cfg = dataclasses.replace(cfg, dtype=args.dtype, bn_dtype=args.bn_dtype,
                               gather_bwd=args.gather_bwd,
                               ball_impl=args.ball_impl,
-                              attn_impl=resolve_train_attn_impl(args.attn_impl))
+                              attn_impl=attn_impl)
     if args.human_backbone:
         cfg = dataclasses.replace(cfg, human_backbone_type=args.human_backbone)
 
@@ -105,7 +107,7 @@ def main():
              "denoise_head", "optimizer", "loss", "rng", "attn"}
     if ablations - known:
         ap.error(f"unknown --ablate component(s): {sorted(ablations - known)}")
-    if "attn" in ablations and args.attn_impl != "xla":
+    if "attn" in ablations and attn_impl != "xla":
         # the attn stub patches the composed multihead_attention; the
         # fused_train branch never reaches it, so the measurement would
         # silently run the fused kernel un-stubbed
