@@ -24,7 +24,11 @@ from the saved forward output (head_dim = 1 makes it elementwise).
 
 Numerics mirror ``multihead_attention``: scale = 1/sqrt(1) = 1, f32
 logits and softmax, value contraction in ``compute_dtype`` with f32
-accumulation; the backward computes everything in f32.
+accumulation.  The backward recomputes the softmax in f32 and then
+rounds the weights (and values) to ``compute_dtype`` before every
+contraction, so it differentiates the SAME w_c·v_c product the forward
+evaluated — in particular D_i = g_i·out_i is exact and dv = w_cᵀg is
+the exact linear-term VJP (advisor r4 finding).
 """
 
 from __future__ import annotations
@@ -79,7 +83,7 @@ def rank1_mha_pallas(
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, out_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, *, n_heads: int):
+                dq_ref, dk_ref, dv_ref, *, n_heads: int, compute_dtype):
     """Per-(scene, query-tile) backward: recompute each head's (BL, S)
     softmax plane in VMEM and contract it against the cotangent.  dq
     leaves per query tile; dk/dv ACCUMULATE across the query-tile grid
@@ -96,7 +100,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, out_ref, g_ref,
 
     q = q_ref[0].astype(jnp.float32)               # (BL, H)
     k = k_ref[0].astype(jnp.float32)               # (S, H)
-    v = v_ref[0].astype(jnp.float32)               # (S, H)
+    # Match the forward's value rounding (v enters linearly, so using the
+    # rounded v_c makes dw = g·v_c exact, not approximate).
+    v = v_ref[0].astype(compute_dtype).astype(jnp.float32)  # (S, H)
     out = out_ref[0].astype(jnp.float32)           # (BL, H)
     g = g_ref[0].astype(jnp.float32)               # (BL, H) cotangent
     dq_cols = []
@@ -105,6 +111,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, out_ref, g_ref,
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         w = e / jnp.sum(e, axis=-1, keepdims=True)  # (BL, S)
+        # Round the recomputed weights to the forward's compute dtype so
+        # every contraction below sees the SAME w_c the forward used:
+        # D_i = g_i·out_i is then exactly Σ_j w_c g v_c, and dv = w_cᵀ g
+        # is the exact linear-term VJP.  (Advisor r4: without this the
+        # D-term used rounded w via `out` while the w·(g·v − D) term used
+        # full-f32 w — an inconsistent mix beyond ordinary rounding.)
+        w = w.astype(compute_dtype).astype(jnp.float32)
         # softmax-grad row term: D_i = sum_j w_ij g_i v_j = g_i * out_i
         d_row = (g[:, h] * out[:, h])[:, None]      # (BL, 1)
         dlog = w * (g[:, h:h + 1] * v[:, h][None] - d_row)  # (BL, S)
@@ -121,8 +134,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, out_ref, g_ref,
     dq_ref[0] = jnp.concatenate(dq_cols, axis=-1).astype(dq_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _rank1_mha_bwd_pallas(q, k, v, out, g, interpret: bool = False):
+@partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
+def _rank1_mha_bwd_pallas(q, k, v, out, g, compute_dtype=jnp.float32,
+                          interpret: bool = False):
     B, L, H = q.shape
     S = k.shape[1]
     BL = 256 if L % 256 == 0 else L
@@ -130,7 +144,8 @@ def _rank1_mha_bwd_pallas(q, k, v, out, g, interpret: bool = False):
     full3 = lambda b, l: (b, 0, 0)
     acc4 = lambda b, l: (b, 0, 0, 0)  # revisited across the l axis
     dq, dk_hm, dv_hm = pl.pallas_call(
-        partial(_bwd_kernel, n_heads=H),
+        partial(_bwd_kernel, n_heads=H,
+                compute_dtype=jnp.dtype(compute_dtype)),
         out_shape=(
             jax.ShapeDtypeStruct((B, L, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H, 1, S), jnp.float32),
@@ -176,6 +191,7 @@ def _train_fwd(q, k, v, compute_dtype, interpret):
 def _train_bwd(compute_dtype, interpret, res, g):
     q, k, v, out = res
     dq, dk, dv = _rank1_mha_bwd_pallas(q, k, v, out, g,
+                                       compute_dtype=compute_dtype,
                                        interpret=interpret)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
 

@@ -46,19 +46,29 @@ def sample_label_draws(probs, sample_count: int, seed: int = 0):
 
     Draw 0 is the MAP assignment (argmax); draws 1.. are independent
     categorical samples via argmax(log p + Gumbel noise) — one
-    vectorized op per draw, no per-vertex Python loop.  Rows that are
-    unnormalized (logits) are softmaxed first.
+    vectorized op per draw, no per-vertex Python loop.  All-non-negative
+    inputs are treated as (possibly unnormalized) probabilities and
+    normalized by their row sums — NOT softmaxed, which would distort
+    e.g. fp16-exported probability rows that sum to 0.999 (advisor r4);
+    an all-zero row in that regime is an error.  The softmax branch is
+    reserved for inputs containing negatives, i.e. logits.
     """
     import numpy as np
 
     probs = np.asarray(probs, np.float64)
-    row = probs.sum(-1, keepdims=True)
-    if not np.allclose(row, 1.0, atol=1e-3):
+    if (probs >= 0).all():
+        row = probs.sum(-1, keepdims=True)
+        if (row <= 0).any():
+            raise ValueError(
+                "contact_probs has all-zero probability rows (e.g. zero "
+                "padding); pad with a valid distribution or pass logits"
+            )
+        probs = probs / row
+    else:
         z = probs - probs.max(-1, keepdims=True)
         e = np.exp(z)
         probs = e / e.sum(-1, keepdims=True)
-        row = np.ones_like(row)
-    logp = np.log(np.maximum(probs / row, 1e-30))
+    logp = np.log(np.maximum(probs, 1e-30))
     draws = [probs.argmax(-1).astype(np.int32)]
     for s in range(1, sample_count):
         g = np.random.default_rng(seed + s).gumbel(size=probs.shape)

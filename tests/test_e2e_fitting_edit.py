@@ -125,6 +125,26 @@ def test_vis_html_viewer(tmp_path, rng):
     assert data["radius"] > 0
 
 
+def test_sample_label_draws_prob_vs_logits():
+    """Advisor r4: non-negative rows are renormalized (NOT softmaxed, which
+    would distort e.g. fp16-exported probabilities summing to 0.999);
+    negatives mean logits -> softmax; all-zero rows raise."""
+    from lsdm_tpu.run.fit_prob_obj import sample_label_draws
+
+    p = np.array([[[0.699, 0.3, 0.0, 0.0]]], np.float32)  # rows sum 0.999
+    draws = sample_label_draws(p, 400, seed=1)
+    assert draws[0].item() == 0  # MAP draw
+    frac0 = (draws[1:] == 0).mean()
+    # renormalized: P(0) = 0.6997; the old softmax branch would give 0.376
+    assert abs(frac0 - 0.6997) < 0.07
+
+    lg = np.array([[[2.0, 0.0, -1.0, -1.0]]], np.float32)  # logits
+    assert sample_label_draws(lg, 1)[0].item() == 0
+
+    with pytest.raises(ValueError, match="all-zero"):
+        sample_label_draws(np.zeros((1, 1, 4), np.float32), 1)
+
+
 def test_fit_prob_obj_cli(tmp_path, rng):
     """Probabilistic fitting (reconstructed fit_prob_obj): contact PROBS
     concentrated on 'table' near a blob -> per-draw fits + prob_fit.json
