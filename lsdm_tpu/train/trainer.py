@@ -284,9 +284,16 @@ class Trainer:
         # between every step. One device_get at the end fetches them all.
         step_metrics = []
         K = self.steps_per_dispatch
+        # fold_in values consumed this epoch, both paths.  The chunked and
+        # per-batch programs must draw IDENTICAL per-step keys for the same
+        # loader order (the bit-identical claim test_chunked_trainer relies
+        # on); asserted below so a refactor that reorders the pending flush
+        # cannot silently diverge them (advisor r4).
+        consumed_folds = []
 
         def one_step(i, batch):
             mask, objs, cats, target, target_cat, text_emb = self._device_batch(batch)
+            consumed_folds.append(epoch * 100003 + i)
             step_key = jax.random.fold_in(key, epoch * 100003 + i)
             self.state, metrics = self._train_step(
                 self.state, mask, objs, cats, target, target_cat, text_emb, step_key
@@ -303,6 +310,7 @@ class Trainer:
                 idxs = np.asarray(
                     [epoch * 100003 + j for j, _ in pending], np.uint32
                 )
+                consumed_folds.extend(int(v) for v in idxs)
                 arrays = self._device_chunk([b for _, b in pending])
                 self.state, metrics = self._scan_step(
                     self.state, *arrays, key, jnp.asarray(idxs)
@@ -313,6 +321,11 @@ class Trainer:
         # same update semantics, just without the dispatch amortization
         for i, batch in pending:
             one_step(i, batch)
+        base = epoch * 100003
+        assert consumed_folds == [base + j for j in range(len(consumed_folds))], (
+            "chunked/per-batch fold_in sequences diverged from the "
+            "enumerate order"
+        )
         fetched = jax.device_get(step_metrics)
         count = 0
         totals: Dict[str, float] = {}

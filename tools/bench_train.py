@@ -92,12 +92,18 @@ def main():
                         vert_dims=24, pcd_points=32)
     else:
         cfg = cfg_lib.sdm_proxd()
-    from lsdm_tpu.models.sampling import resolve_train_attn_impl
+    from lsdm_tpu.models.sampling import (
+        resolve_train_attn_impl, resolve_train_ball_impl)
 
     attn_impl = resolve_train_attn_impl(args.attn_impl)
+    # Resolve "auto" exactly like run/train_sdm.py does (pallas on TPU);
+    # passing it raw would let the model fall back to the topk/scan train
+    # path and silently measure the WRONG configuration (bt_confirm_r5:
+    # 14.05 steps/s instead of ~23 — a harness bug, not a regression).
+    ball_impl = resolve_train_ball_impl(args.ball_impl)
     cfg = dataclasses.replace(cfg, dtype=args.dtype, bn_dtype=args.bn_dtype,
                               gather_bwd=args.gather_bwd,
-                              ball_impl=args.ball_impl,
+                              ball_impl=ball_impl,
                               attn_impl=attn_impl)
     if args.human_backbone:
         cfg = dataclasses.replace(cfg, human_backbone_type=args.human_backbone)

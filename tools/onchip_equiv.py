@@ -48,6 +48,14 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force a jax platform ('cpu' self-test: tiny "
                          "config, interpret-mode kernels)")
+    ap.add_argument("--mode", default="fused",
+                    choices=["fused", "anchor"],
+                    help="fused: composed vs fused-kernel path (the "
+                         "promotion gate).  anchor: composed-default vs "
+                         "composed at matmul precision=HIGHEST — measures "
+                         "how much of the pointwise delta is the MXU's "
+                         "bf16-grade fp32 matmul rounding ALONE, with no "
+                         "kernel in the loop (VERDICT r4 item 4)")
     args = ap.parse_args()
 
     import jax
@@ -79,8 +87,12 @@ def main():
         cfg = cfg_lib.sdm_proxd()
         T = args.steps
     cfg_composed = dataclasses.replace(cfg, dtype=args.dtype)
-    cfg_fused = dataclasses.replace(cfg, dtype=args.dtype,
-                                    ball_impl="fused")
+    cfg_fused = dataclasses.replace(
+        cfg, dtype=args.dtype,
+        # anchor mode: the "b" model is the SAME composed program, only
+        # traced under default_matmul_precision("highest") below — the
+        # delta it shows against "a" is pure MXU rounding, no kernels
+        ball_impl=("fused" if args.mode == "fused" else cfg.ball_impl))
 
     B, O, N = args.batch, cfg.max_objs, cfg.pcd_points
     key = jax.random.PRNGKey(0)
@@ -105,19 +117,27 @@ def main():
         return jnp.max(jnp.abs(a.astype(jnp.float32)
                                - b.astype(jnp.float32)))
 
+    import contextlib
+
+    b_precision = (jax.default_matmul_precision("highest")
+                   if args.mode == "anchor" else contextlib.nullcontext())
+    b_fused_step = "chain" if args.mode == "fused" else None
+
     @jax.jit
     def compare(sample_key):
         # encode-level deltas (the kernels under test live here)
         cond_a = model_a.apply(variables, mask, objs, cats, text,
                                method=model_a.encode_conditioning)
-        cond_b = model_b.apply(variables, mask, objs, cats, text,
-                               method=model_b.encode_conditioning)
         s_a, out_a = sample_sdm(model_a, variables, schedule, mask, objs,
                                 cats, text, sample_key,
                                 clip_denoised=False)
-        s_b, out_b = sample_sdm(model_b, variables, schedule, mask, objs,
-                                cats, text, sample_key,
-                                clip_denoised=False, fused_step="chain")
+        with b_precision:
+            cond_b = model_b.apply(variables, mask, objs, cats, text,
+                                   method=model_b.encode_conditioning)
+            s_b, out_b = sample_sdm(model_b, variables, schedule, mask,
+                                    objs, cats, text, sample_key,
+                                    clip_denoised=False,
+                                    fused_step=b_fused_step)
         return {
             "encode_cond_pcd_maxabs": maxabs(cond_a.cond_pcd,
                                              cond_b.cond_pcd),
@@ -135,7 +155,7 @@ def main():
     t0 = time.perf_counter()
     out = {k: float(v) for k, v in compare(jax.random.PRNGKey(7)).items()}
     wall = time.perf_counter() - t0
-    out.update(batch=B, dtype=args.dtype, T=T,
+    out.update(batch=B, dtype=args.dtype, T=T, mode=args.mode,
                backend=jax.default_backend(), compile_plus_run_s=round(wall, 1))
     print(json.dumps(out, sort_keys=True))
     # Gate verdict, calibrated to TPU matmul semantics (first on-chip run,
@@ -150,12 +170,23 @@ def main():
     # — the gap is MXU rounding, not logic.)  So the gate requires:
     # eval-metric-level agreement (chamfer ~0, cat tight) plus a
     # bf16-grade pointwise bound.
+    # In anchor mode the SAME criteria apply: if "the 7e-3 pointwise gap
+    # is MXU rounding present in both paths" is right, forcing one
+    # composed path to precision=HIGHEST must open a comparable rel gap
+    # against composed-default while the metric-level quantities stay
+    # tight — i.e. the anchor should PASS with rel in the same decade.
     rel = out["sample_maxabs"] / max(out["sample_rms"], 1e-6)
     tol_rel = 2e-2 if args.dtype == "float32" else 6e-2
-    ok = (rel < tol_rel and abs(out["sample_chamfer"]) < 1e-4
-          and out["cat_maxabs"] < 1e-5
-          and out["encode_cond_pcd_maxabs"] < 1e-3)
-    print(f"[equiv] {'PASS' if ok else 'FAIL'} "
+    if args.mode == "anchor":
+        # precision=HIGHEST legitimately changes the encode and category
+        # logits themselves (that's the measurement), so only the
+        # metric-level sameness + the rel decade are gated here.
+        ok = rel < tol_rel and abs(out["sample_chamfer"]) < 1e-4
+    else:
+        ok = (rel < tol_rel and abs(out["sample_chamfer"]) < 1e-4
+              and out["cat_maxabs"] < 1e-5
+              and out["encode_cond_pcd_maxabs"] < 1e-3)
+    print(f"[equiv:{args.mode}] {'PASS' if ok else 'FAIL'} "
           f"(rel_maxabs={rel:.2e} vs {tol_rel:g}, "
           f"chamfer={out['sample_chamfer']:.2e}, "
           f"cat={out['cat_maxabs']:.2e}, "
