@@ -49,10 +49,12 @@ function proj(p, cy, sy, cp, sp) {
   const f = .9 * Math.min(W, H) / z2;
   return [W / 2 + f * x1, H / 2 - f * y2, z2];
 }
-function cloud(points, color, size, cy, sy, cp, sp) {
+function cloud(points, color, size, cy, sy, cp, sp, palette) {
   ctx.fillStyle = color;
   for (const p of points) { const q = proj(p, cy, sy, cp, sp);
-    if (q) ctx.fillRect(q[0] - size / 2, q[1] - size / 2, size, size); }
+    if (!q) continue;
+    if (palette && p.length > 3) ctx.fillStyle = palette[p[3] % palette.length];
+    ctx.fillRect(q[0] - size / 2, q[1] - size / 2, size, size); }
 }
 function wire(verts, edges, color, cy, sy, cp, sp) {
   ctx.strokeStyle = color; ctx.beginPath();
@@ -68,7 +70,7 @@ function draw() {
     o.edges ? wire(o.verts, o.edges, o.color, cy, sy, cp, sp)
             : cloud(o.verts, o.color, 2.5, cy, sy, cp, sp);
   if (DATA.frames.length)
-    cloud(DATA.frames[frame], "#6cf", 2, cy, sy, cp, sp);
+    cloud(DATA.frames[frame], "#6cf", 2, cy, sy, cp, sp, DATA.palette);
 }
 rs();
 </script></body></html>
@@ -90,25 +92,37 @@ def write_scene_html(
     frames: Optional[np.ndarray] = None,  # (T, V, 3) human sequence
     objects: Sequence[Dict] = (),  # {verts (V,3), faces (F,3)?, color?}
     max_points: int = 4000,
+    frame_labels: Optional[np.ndarray] = None,  # (T, V) int classes
+    palette: Optional[Sequence[str]] = None,  # colors indexed by label
 ):
     """Write a standalone interactive viewer.  Point sets are subsampled to
-    ``max_points`` per frame/object to keep the file small."""
+    ``max_points`` per frame/object to keep the file small.  When
+    ``frame_labels``/``palette`` are given, each frame point carries its
+    integer class as a 4th component and is drawn in ``palette[label]``
+    (the dataset viewer's contact-semantics coloring)."""
 
-    def sub(v):
+    def sub(v, labels=None):
         v = np.asarray(v, np.float32).reshape(-1, 3)
+        idx = None
         if len(v) > max_points:
             idx = np.linspace(0, len(v) - 1, max_points).astype(int)
             v = v[idx]
-        return np.round(v, 4).tolist()
+        v = np.round(v, 4)
+        if labels is not None:
+            lab = np.asarray(labels, np.float32).reshape(-1)
+            if idx is not None:
+                lab = lab[idx]
+            v = np.concatenate([v, lab[:, None]], axis=1)
+        return v.tolist()
 
     objs = []
     all_pts = []
-    palette = ["#fa5", "#5fa", "#f5a", "#af5", "#a5f", "#5af"]
+    obj_palette = ["#fa5", "#5fa", "#f5a", "#af5", "#a5f", "#5af"]
     for i, o in enumerate(objects):
         verts = np.asarray(o["verts"], np.float32).reshape(-1, 3)
         all_pts.append(verts)
         entry = {"verts": sub(verts),
-                 "color": o.get("color", palette[i % len(palette)])}
+                 "color": o.get("color", obj_palette[i % len(obj_palette)])}
         if o.get("faces") is not None and len(entry["verts"]) == len(verts):
             entry["edges"] = _mesh_edges(o["faces"])
         objs.append(entry)
@@ -118,7 +132,12 @@ def write_scene_html(
         frames = np.asarray(frames, np.float32)
         if frames.ndim == 2:
             frames = frames[None]
-        frame_list = [sub(f) for f in frames]
+        labs = (None,) * len(frames)
+        if frame_labels is not None:
+            labs = np.asarray(frame_labels)
+            if labs.ndim == 1:
+                labs = labs[None]
+        frame_list = [sub(f, lb) for f, lb in zip(frames, labs)]
         all_pts.append(frames.reshape(-1, 3))
 
     pts = (np.concatenate(all_pts, axis=0) if all_pts
@@ -127,6 +146,7 @@ def write_scene_html(
     radius = float(max(np.linalg.norm(pts - center, axis=1).max(), 1e-3))
 
     data = {"objects": objs, "frames": frame_list,
+            "palette": (list(palette) if palette else None),
             "center": np.round(center, 4).tolist(), "radius": radius}
     with open(path, "w") as f:
         f.write(_TEMPLATE.replace("__DATA__", json.dumps(data)))

@@ -125,6 +125,50 @@ def test_vis_html_viewer(tmp_path, rng):
     assert data["radius"] > 0
 
 
+def test_vis_dataset_cli(tmp_path, rng):
+    """Dataset sequence viewer (reference posa/vis_dataset.py): PNG frames
+    named like the reference's video capture + the --html orbit viewer
+    with per-point contact-class colors."""
+    T, V = 12, 80
+    for sub in ("vertices", "vertices_can", "semantics"):
+        os.makedirs(tmp_path / "ds" / sub)
+    seq = rng.randn(T, V, 3).astype(np.float32) * 0.3
+    np.save(tmp_path / "ds" / "vertices" / "seqA_01_verts.npy", seq)
+    np.save(tmp_path / "ds" / "vertices_can" / "seqA_01_verts_can.npy", seq)
+    labels = rng.randint(0, 8, size=(T, V))
+    np.save(tmp_path / "ds" / "semantics" / "seqA_01_cfs.npy", labels)
+
+    out = tmp_path / "vis"
+    r = run_cli([
+        "lsdm_tpu.run.vis_dataset", "--data_dir", str(tmp_path / "ds"),
+        "--seq_name", "seqA_01", "--save_dir", str(out),
+        "--every", "4", "--html",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    pngs = sorted(out.glob("frame_*.png"))
+    assert [p.name for p in pngs] == [
+        "frame_0000.png", "frame_0004.png", "frame_0008.png"]
+    html = (out / "scene.html").read_text()
+    import re
+
+    data = json.loads(re.search(r"const DATA = (.*);", html).group(1))
+    assert len(data["frames"]) == 3
+    assert data["palette"] is not None and len(data["palette"]) == 8
+    # each frame point carries [x, y, z, label]
+    assert len(data["frames"][0][0]) == 4
+    labs = {int(p[3]) for p in data["frames"][0]}
+    assert labs <= set(range(8)) and len(labs) > 1
+
+    # canonical single-frame mode (rotated upright, no scene)
+    r2 = run_cli([
+        "lsdm_tpu.run.vis_dataset", "--data_dir", str(tmp_path / "ds"),
+        "--seq_name", "seqA_01", "--save_dir", str(tmp_path / "vis_can"),
+        "--show_canonical", "--single_frame", "5", "--no_png", "--html",
+    ])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert (tmp_path / "vis_can" / "scene.html").exists()
+
+
 def test_sample_label_draws_prob_vs_logits():
     """Advisor r4: non-negative rows are renormalized (NOT softmaxed, which
     would distort e.g. fp16-exported probabilities summing to 0.999);
