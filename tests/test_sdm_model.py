@@ -63,6 +63,7 @@ def test_forward_contract(model_and_params):
     assert float(out.x0.min()) > -0.2
 
 
+@pytest.mark.slow  # 26 s: end-to-end grad compile of the full model
 def test_loss_and_gradients(model_and_params):
     """Chamfer+CE loss is finite and differentiable end-to-end."""
     model, variables = model_and_params
@@ -139,6 +140,7 @@ def test_split_conditioning_equals_full(model_and_params):
                                   np.asarray(split.guiding))
 
 
+@pytest.mark.slow  # 21 s: compiles BOTH the fast and the naive sampler
 def test_sample_sdm_matches_naive_sampler(model_and_params):
     """The fast sampler (cond once + scanned tail) equals scanning the full
     model bit-for-bit (same key)."""

@@ -99,6 +99,7 @@ def test_text_encoder_cached_mode():
         enc.encode(["missing"])
 
 
+@pytest.mark.slow  # 30 s: builds the full random-init BERT tower
 def test_text_encoder_bert_fallback_flagged():
     """Offline BERT: random-init + hash tokenizer, loudly flagged; the
     require_parity path refuses instead (reference model/sdm.py:279-285)."""

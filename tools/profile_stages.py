@@ -104,6 +104,81 @@ def profile_sa(args):
                args.reps)
 
 
+def profile_train_stages(args):
+    """Per-stage fwd+bwd attribution of the TRAIN backbone at flagship
+    shapes (54 clouds x 1024 pts): each SA/FP stage timed alone with
+    gradients flowing to params AND inputs (as in the real step, where
+    upstream stages receive the cotangent).  Ranks the stages so the
+    round-5 kernel campaign attacks the right one."""
+    import jax.numpy as jnp
+
+    from lsdm_tpu.models.pointnet2 import (PointNetFeaturePropagation,
+                                           PointNetSetAbstraction)
+
+    BO = args.clouds
+    sc = 16 if args.smoke else 1
+    # (name, N, S, in_ch, mlp, radius) — backbone flagship proportions
+    sa_shapes = (("sa1", 1024 // sc, 1024 // sc, 3, (32, 32, 64), 0.1),
+                 ("sa2", 1024 // sc, 256 // sc, 64, (64, 64, 128), 0.2),
+                 ("sa3", 256 // sc, 64 // sc, 128, (128, 128, 256), 0.4),
+                 ("sa4", 64 // sc, 16 // sc, 256, (256, 256, 512), 0.8))
+    for name, N, S, cin, mlp, r in sa_shapes:
+        xyz = jax.random.normal(jax.random.PRNGKey(0), (BO, N, 3))
+        feats = jax.random.normal(jax.random.PRNGKey(1), (BO, N, cin))
+        sa = PointNetSetAbstraction(
+            S, r, 32, mlp, dtype=jnp.dtype(args.dtype),
+            ball_impl=args.ball_impl, gather_bwd=args.gather_bwd)
+        vs = sa.init(jax.random.PRNGKey(2), xyz, feats, True)
+
+        def fwd_bwd(x, sa=sa, vs=vs, feats=feats):
+            def loss(p, f):
+                (_, out), _ = sa.apply(
+                    {"params": p, "batch_stats": vs["batch_stats"]}, x, f,
+                    True, mutable=["batch_stats"])
+                return jnp.mean(out.astype(jnp.float32) ** 2)
+            gp, gf = jax.grad(loss, argnums=(0, 1))(vs["params"], feats)
+            acc = jax.tree_util.tree_reduce(
+                lambda a, l: a + jnp.sum(l).astype(jnp.float32), gp,
+                jnp.float32(0.0))
+            return x + 0.0 * (acc + jnp.sum(gf).astype(jnp.float32))
+
+        _bench(f"{name} fwd+bwd (BO={BO}, N={N}->S={S}, {args.ball_impl}, "
+               f"{args.gather_bwd}, {args.dtype})", fwd_bwd, xyz, args.reps)
+
+    # (name, N_target, S_source, ch1, ch2, mlp)
+    fp_shapes = (("fp4", 64 // sc, 16 // sc, 256, 512, (256, 256)),
+                 ("fp3", 256 // sc, 64 // sc, 128, 256, (256, 256)),
+                 ("fp2", 1024 // sc, 256 // sc, 64, 256, (256, 128)),
+                 ("fp1", 1024 // sc, 1024 // sc, 0, 128, (128, 128, 128)))
+    for name, N, S, c1, c2, mlp in fp_shapes:
+        xyz1 = jax.random.normal(jax.random.PRNGKey(0), (BO, N, 3))
+        xyz2 = jax.random.normal(jax.random.PRNGKey(1), (BO, S, 3))
+        p1 = (jax.random.normal(jax.random.PRNGKey(2), (BO, N, c1))
+              if c1 else None)
+        p2 = jax.random.normal(jax.random.PRNGKey(3), (BO, S, c2))
+        nn_impl = ("pallas" if args.ball_impl in ("pallas", "fused", "sg")
+                   else "auto")
+        fp = PointNetFeaturePropagation(
+            mlp, dtype=jnp.dtype(args.dtype), nn_impl=nn_impl,
+            gather_bwd=args.gather_bwd)
+        vs = fp.init(jax.random.PRNGKey(4), xyz1, xyz2, p1, p2, True)
+
+        def fwd_bwd(x, fp=fp, vs=vs, xyz2=xyz2, p1=p1, p2=p2):
+            def loss(p, f2):
+                out, _ = fp.apply(
+                    {"params": p, "batch_stats": vs["batch_stats"]}, x,
+                    xyz2, p1, f2, True, mutable=["batch_stats"])
+                return jnp.mean(out.astype(jnp.float32) ** 2)
+            gp, gf = jax.grad(loss, argnums=(0, 1))(vs["params"], p2)
+            acc = jax.tree_util.tree_reduce(
+                lambda a, l: a + jnp.sum(l).astype(jnp.float32), gp,
+                jnp.float32(0.0))
+            return x + 0.0 * (acc + jnp.sum(gf).astype(jnp.float32))
+
+        _bench(f"{name} fwd+bwd (BO={BO}, S={S}->N={N}, {args.gather_bwd}, "
+               f"{args.dtype})", fwd_bwd, xyz1, args.reps)
+
+
 def profile_encode(args):
     import dataclasses
 
@@ -162,7 +237,8 @@ def profile_attn(args):
 
 
 WHAT = {"backbone": profile_backbone, "sa": profile_sa,
-        "encode": profile_encode, "attn": profile_attn}
+        "encode": profile_encode, "attn": profile_attn,
+        "train_stages": profile_train_stages}
 
 
 def main():
