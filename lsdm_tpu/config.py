@@ -90,6 +90,13 @@ class SDMConfig:
     # object contexts fall back to "xla" inside the model (no SPMD rule).
     # Eval fusion is separately controlled by ball_impl == "fused".
     attn_impl: str = "xla"
+    # Hoist each SA stage's layer-1 Dense from the grouped (S*K) domain
+    # to the N point domain (round 5, models/pointnet2.py:
+    # PointNetSetAbstraction.hoist_layer1): 8-32x fewer layer-1 FLOPs
+    # and one grouped buffer eliminated per stage, bf16-grade
+    # reassociation deltas only.  Off by default (the composed path is
+    # the reference-shaped graph); training CLIs opt in via --sa_hoist.
+    sa_hoist: bool = False
 
 
 def sdm_proxd() -> SDMConfig:

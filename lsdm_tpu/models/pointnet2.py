@@ -44,17 +44,22 @@ class ConvBNBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     bn_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not @nn.compact) so the SA hoist path can apply
+        # the Dense and the BN+relu separately; attribute names keep the
+        # param-tree scopes "conv"/"bn" the checkpoint converter expects
+        self.conv = nn.Dense(self.features, dtype=self.dtype)
+        self.bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
+                               dtype=self.bn_dtype)
+
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        x = nn.Dense(self.features, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.bn_dtype,
-            name="bn",
-        )(x)
-        return nn.relu(x)
+        return self.bn_relu(self.conv(x), train)
+
+    def dense(self, x: jax.Array) -> jax.Array:
+        return self.conv(x)
+
+    def bn_relu(self, x: jax.Array, train: bool) -> jax.Array:
+        return nn.relu(self.bn(x, use_running_average=not train))
 
 
 class PointNetSetAbstraction(nn.Module):
@@ -87,6 +92,21 @@ class PointNetSetAbstraction(nn.Module):
     # programs keep their compiled-cache hash (ops/pointcloud.py:
     # index_points_mm)
     gather_bwd: str = "scatter"
+    # Hoist the stage's LAYER-1 Dense from the grouped (S*K) domain to
+    # the N point domain (round 5).  Associativity:
+    #   gather(base)[s,k] @ W1 == gather(base @ W1)[s,k]
+    # and the center-relative xyz part contributes only the rank-1 term
+    # center[s] @ W1[:3], so
+    #   pre1[s,k] = (base @ W1 + b1)[idx[s,k]] - center[s] @ W1[:3]
+    # — S*K/N times fewer layer-1 FLOPs (32x at sa1, 8x at sa2-4) and
+    # the grouped (B, S, K, C_in) INPUT buffer never materializes (only
+    # the layer-1 preactivation does).  BN still sees the grouped
+    # population, so train statistics are unchanged; the regrouping only
+    # reassociates float accumulation (bf16-grade deltas).  Exact VJP of
+    # the new composition via autodiff; partitions like the composed
+    # path (matmuls + the same gathers).  Off by default: the composed
+    # path is the reference-shaped graph.
+    hoist_layer1: bool = False
 
     @nn.compact
     def __call__(
@@ -152,6 +172,7 @@ class PointNetSetAbstraction(nn.Module):
                     jax.default_backend() == "cpu", xyz, new_xyz, base)
             else:
                 ball = "pallas"  # xyz-only / tiny configs: composed path
+        mlp_start = 0
         if new_points is None:
             if ball == "auto":
                 # sharded context: partitioned top_k — the TopK custom call
@@ -161,7 +182,30 @@ class PointNetSetAbstraction(nn.Module):
                 ball = "topk_p" if self.select_impl == "spmd" else "topk"
             idx = query_ball_point(
                 self.radius, min(self.nsample, N), xyz, new_xyz, impl=ball)
-            if points is not None:
+            if self.hoist_layer1:
+                # layer-1 Dense at the N domain, then gather its output
+                # and subtract the per-center rank-1 term (see the field
+                # docstring for the algebra)
+                base = (xyz if points is None
+                        else jnp.concatenate([xyz, points], axis=-1))
+                if self.dtype != jnp.float32:
+                    base = base.astype(self.dtype)
+                blk0 = ConvBNBlock(self.mlp[0], dtype=self.dtype,
+                                   bn_dtype=self.bn_dtype, name="mlp_0")
+                z = blk0.dense(base)  # (B, N, C1), bias included
+                gather = (index_points if self.gather_bwd == "scatter"
+                          else lambda p, i: index_points_mm(
+                              p, i, N,
+                              "matmul" if self.gather_bwd == "matmul_fwd"
+                              else "gather"))
+                grouped_z = gather(z, idx)  # (B, S, K, C1)
+                w_xyz = blk0.variables["params"]["conv"]["kernel"][:C]
+                zc = new_xyz.astype(z.dtype) @ w_xyz.astype(z.dtype)
+                new_points = blk0.bn_relu(
+                    grouped_z - zc[:, :, None, :].astype(grouped_z.dtype),
+                    train)
+                mlp_start = 1
+            elif points is not None:
                 # ONE gather of the pre-concatenated columns instead of two:
                 # gather-then-concat == concat-then-gather, and the random-
                 # access gather (+ its scatter-add backward) is the
@@ -184,6 +228,8 @@ class PointNetSetAbstraction(nn.Module):
                 grouped_xyz = index_points(xyz, idx)  # (B, S, K, 3)
                 new_points = grouped_xyz - new_xyz[:, :, None, :]
         for i, feats in enumerate(self.mlp):
+            if i < mlp_start:
+                continue  # layer already applied by the hoist path
             new_points = ConvBNBlock(feats, dtype=self.dtype, bn_dtype=self.bn_dtype, name=f"mlp_{i}")(
                 new_points, train
             )
@@ -297,6 +343,9 @@ class PointNet2Backbone(nn.Module):
     select_impl: str = "topk"
     ball_impl: str = "auto"
     gather_bwd: str = "scatter"
+    # hoist each SA stage's layer-1 Dense to the N domain (train
+    # optimization, round 5 — see PointNetSetAbstraction.hoist_layer1)
+    hoist_layer1: bool = False
 
     @nn.compact
     def __call__(
@@ -311,10 +360,10 @@ class PointNet2Backbone(nn.Module):
         l0_xyz, l0_points = xyz, xyz
         p1, p2, p3, p4 = self.sa_npoints
         ns = self.sa_nsample
-        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, name="sa1")
-        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, name="sa2")
-        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, name="sa3")
-        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, name="sa4")
+        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, name="sa1")
+        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, name="sa2")
+        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, name="sa3")
+        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, name="sa4")
         l1_xyz, l1_points = sa1(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = sa2(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = sa3(l2_xyz, l2_points, train, keys[2])

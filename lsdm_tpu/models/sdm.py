@@ -139,6 +139,7 @@ class SceneDiffusionModel(nn.Module):
                            and cfg.ball_impl in ("fused", "pallas", "sg")
                            else cfg.ball_impl),
                 gather_bwd=cfg.gather_bwd,
+                hoist_layer1=cfg.sa_hoist,
             )
         self.combine_extraction = MLP((D,), ("gelu",), dtype=dtype)
         self.input_process = InputProcess(cfg.xyz_dim, D, dtype=dtype)

@@ -73,6 +73,11 @@ def main():
                     help="ball-query formulation; 'auto' resolves to the "
                          "fused Pallas kernel on a TPU backend — fastest "
                          "measured train step (PERF.md round 4)")
+    ap.add_argument("--sa_hoist", action="store_true",
+                    help="hoist each SA stage's layer-1 Dense to the N "
+                         "point domain (8-32x fewer layer-1 FLOPs, one "
+                         "grouped buffer fewer per stage; bf16-grade "
+                         "reassociation deltas — models/pointnet2.py)")
     ap.add_argument(
         "--platform", default=None,
         help="force a jax platform (e.g. cpu); the ambient axon TPU backend "
@@ -113,6 +118,7 @@ def main():
         gather_bwd=args.gather_bwd,
         ball_impl=resolve_train_ball_impl(args.ball_impl),
         attn_impl=resolve_train_attn_impl(args.attn_impl),
+        sa_hoist=args.sa_hoist,
     )
     diff_cfg = DiffusionConfig(
         steps=args.diffusion_steps, noise_schedule=args.noise_schedule

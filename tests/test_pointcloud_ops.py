@@ -769,3 +769,71 @@ def test_fp_module_matmul_gather_matches_scatter():
     g2 = jax.grad(lambda p: run_loss(fp_m, p))(pts2)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_sa_hoist_layer1_matches_composed():
+    """hoist_layer1 (round 5): layer-1 Dense hoisted to the N domain —
+    gather(base) @ W1 == gather(base @ W1) minus the rank-1 center term.
+    Same param tree (checkpoint-name parity), same forward up to float
+    reassociation, matching grads for params AND inputs; batch_stats
+    updates agree (BN sees the identical grouped population)."""
+    from lsdm_tpu.models.pointnet2 import PointNetSetAbstraction
+
+    sa_c = PointNetSetAbstraction(8, 0.8, 4, (8, 16))
+    sa_h = PointNetSetAbstraction(8, 0.8, 4, (8, 16), hoist_layer1=True)
+    xyz = jax.random.normal(jax.random.PRNGKey(40), (2, 16, 3))
+    pts = jax.random.normal(jax.random.PRNGKey(41), (2, 16, 5))
+    with jax.default_matmul_precision("highest"):
+        v_c = sa_c.init(jax.random.PRNGKey(42), xyz, pts, True)
+        v_h = sa_h.init(jax.random.PRNGKey(42), xyz, pts, True)
+        assert jax.tree_util.tree_structure(v_c) == \
+            jax.tree_util.tree_structure(v_h)
+
+        def run(sa, p, f):
+            (_, out), upd = sa.apply(
+                {"params": p, "batch_stats": v_c["batch_stats"]}, xyz, f,
+                True, mutable=["batch_stats"])
+            return out, upd
+
+        o_c, u_c = run(sa_c, v_c["params"], pts)
+        o_h, u_h = run(sa_h, v_c["params"], pts)
+        np.testing.assert_allclose(np.asarray(o_c), np.asarray(o_h),
+                                   atol=1e-5, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(u_c),
+                        jax.tree_util.tree_leaves(u_h)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+
+        def loss(sa, p, f):
+            return jnp.sum(run(sa, p, f)[0] ** 2)
+
+        gp_c, gf_c = jax.grad(lambda p, f: loss(sa_c, p, f),
+                              argnums=(0, 1))(v_c["params"], pts)
+        gp_h, gf_h = jax.grad(lambda p, f: loss(sa_h, p, f),
+                              argnums=(0, 1))(v_c["params"], pts)
+        for a, b in zip(jax.tree_util.tree_leaves(gp_c),
+                        jax.tree_util.tree_leaves(gp_h)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(gf_c), np.asarray(gf_h),
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_sa_hoist_xyz_only_and_matmul_gather():
+    """The hoist path also covers points=None (base = xyz alone) and the
+    matmul_fwd gather used by the training default."""
+    from lsdm_tpu.models.pointnet2 import PointNetSetAbstraction
+
+    xyz = jax.random.normal(jax.random.PRNGKey(43), (2, 16, 3))
+    for pts_ch, gb in ((0, "scatter"), (5, "matmul_fwd")):
+        pts = (jax.random.normal(jax.random.PRNGKey(44), (2, 16, pts_ch))
+               if pts_ch else None)
+        sa_c = PointNetSetAbstraction(8, 0.8, 4, (8,), gather_bwd=gb)
+        sa_h = PointNetSetAbstraction(8, 0.8, 4, (8,), gather_bwd=gb,
+                                      hoist_layer1=True)
+        with jax.default_matmul_precision("highest"):
+            v = sa_c.init(jax.random.PRNGKey(45), xyz, pts, True)
+            o_c, _ = sa_c.apply(v, xyz, pts, True, mutable=["batch_stats"])
+            o_h, _ = sa_h.apply(v, xyz, pts, True, mutable=["batch_stats"])
+            np.testing.assert_allclose(np.asarray(o_c[1]), np.asarray(o_h[1]),
+                                       atol=1e-5, rtol=1e-5)

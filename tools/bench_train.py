@@ -58,6 +58,9 @@ def main():
                          "mode): ballquery, fps, pcd_backbone, "
                          "human_backbone, denoise_head, optimizer, loss, "
                          "rng, attn")
+    ap.add_argument("--sa_hoist", action="store_true",
+                    help="hoist each SA stage's layer-1 Dense to the N "
+                         "domain (round-5 candidate; models/pointnet2.py)")
     ap.add_argument("--human_backbone", default=None,
                     choices=["POSA", "P2R"],
                     help="override the human-tower type (default: the "
@@ -104,7 +107,8 @@ def main():
     cfg = dataclasses.replace(cfg, dtype=args.dtype, bn_dtype=args.bn_dtype,
                               gather_bwd=args.gather_bwd,
                               ball_impl=ball_impl,
-                              attn_impl=attn_impl)
+                              attn_impl=attn_impl,
+                              sa_hoist=args.sa_hoist)
     if args.human_backbone:
         cfg = dataclasses.replace(cfg, human_backbone_type=args.human_backbone)
 
