@@ -210,14 +210,16 @@ class SceneDiffusionModel(nn.Module):
             translation, pcd_trans, pcd_trans,
             # head_dim=1 fused eval kernel: the (B*O, H, N, N) logits plane
             # (432 MB at batch 1, 3.5 GB at batch 8) never leaves VMEM.
-            # Skipped under a sharded object axis (no SPMD rule).
-            fused=(cfg.ball_impl == "fused" and not train
-                   and self.obj_sharding is None),
+            fused=(cfg.ball_impl == "fused" and not train),
             # train-time fused path: same forward kernel + a flash-style
             # custom-VJP backward (cfg.attn_impl, resolved by the train
-            # CLIs; sharded-object contexts fall back to composed)
-            fused_train=(cfg.attn_impl == "pallas" and train
-                         and self.obj_sharding is None))
+            # CLIs)
+            fused_train=(cfg.attn_impl == "pallas" and train),
+            # sharded object axis: the kernels have no GSPMD rule, but
+            # under shard_map they run per-shard with zero collectives
+            # (round 5, ops/attn_pallas.py:rank1_mha_sharded); indivisible
+            # shard counts fall back to composed inside the module
+            shard=self.obj_sharding)
         pcd_trans = pcd_trans.reshape(B, num_obj, num_points, cfg.translation_params)
         pcd_out = jnp.concatenate([pcd_out, pcd_trans], axis=-1)
         pcd_out = self.point_wise_trans_layer(pcd_out)  # (B, num_obj, N, 3)

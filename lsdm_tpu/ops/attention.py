@@ -141,6 +141,7 @@ class TorchMultiheadAttention(nn.Module):
         attn_mask: Optional[jax.Array] = None,
         fused: bool = False,
         fused_train: bool = False,
+        shard: Optional[object] = None,  # NamedSharding over axis 0
     ) -> Tuple[jax.Array, jax.Array]:
         E = self.embed_dim
         init = nn.initializers.xavier_uniform()
@@ -153,30 +154,53 @@ class TorchMultiheadAttention(nn.Module):
         k = key.astype(self.dtype) @ k_w.T.astype(self.dtype) + in_b[E : 2 * E].astype(self.dtype)
         v = value.astype(self.dtype) @ v_w.T.astype(self.dtype) + in_b[2 * E :].astype(self.dtype)
 
+        # ``shard``: a NamedSharding over axis 0 (the flattened cloud
+        # axis).  The rank-1 kernels have no GSPMD rule, but they are
+        # per-cloud — under shard_map each device runs the kernel (and,
+        # in training, its custom-VJP backward) on its local shard with
+        # zero collectives (ops/attn_pallas.py:rank1_mha_sharded).
+        # Requires exact divisibility; otherwise fall through composed.
+        shard_ok = shard is None
+        if shard is not None and (fused or fused_train):
+            from lsdm_tpu.ops.attn_pallas import _shard_count
+            shard_ok = q.shape[0] % _shard_count(shard) == 0
+
         if (fused and self.num_heads == E and attn_mask is None
-                and q.shape[1] % 8 == 0):
+                and q.shape[1] % 8 == 0 and shard_ok):
             # head_dim == 1 eval fast path: the (B, H, L, S) logits tensor
             # never leaves VMEM (ops/attn_pallas.py); weights (the second
             # return) are not computed — callers on this path discard them
-            from lsdm_tpu.ops.attn_pallas import rank1_mha_pallas
-            out = rank1_mha_pallas(
-                q, k, v, compute_dtype=self.dtype,
-                interpret=jax.default_backend() == "cpu")
+            from lsdm_tpu.ops.attn_pallas import (rank1_mha_pallas,
+                                                  rank1_mha_sharded)
+            if shard is not None:
+                out = rank1_mha_sharded(
+                    q, k, v, shard, compute_dtype=self.dtype,
+                    interpret=jax.default_backend() == "cpu", train=False)
+            else:
+                out = rank1_mha_pallas(
+                    q, k, v, compute_dtype=self.dtype,
+                    interpret=jax.default_backend() == "cpu")
             out = TorchLinear(E, dtype=self.dtype, name="out_proj")(
                 out.astype(self.dtype))
             return out, None
 
         if (fused_train and self.num_heads == E and attn_mask is None
-                and q.shape[1] % 8 == 0):
+                and q.shape[1] % 8 == 0 and shard_ok):
             # head_dim == 1 TRAIN fast path: same fused forward, plus a
             # flash-style custom-VJP backward that recomputes the softmax
             # in VMEM (ops/attn_pallas.py:rank1_mha_train) — the (L, S)
             # plane never reaches HBM in either direction.  Weights are
             # not computed; this path's callers discard them.
-            from lsdm_tpu.ops.attn_pallas import rank1_mha_train
-            out = rank1_mha_train(
-                q, k, v, jnp.dtype(self.dtype),
-                jax.default_backend() == "cpu")
+            from lsdm_tpu.ops.attn_pallas import (rank1_mha_sharded,
+                                                  rank1_mha_train)
+            if shard is not None:
+                out = rank1_mha_sharded(
+                    q, k, v, shard, compute_dtype=jnp.dtype(self.dtype),
+                    interpret=jax.default_backend() == "cpu", train=True)
+            else:
+                out = rank1_mha_train(
+                    q, k, v, jnp.dtype(self.dtype),
+                    jax.default_backend() == "cpu")
             out = TorchLinear(E, dtype=self.dtype, name="out_proj")(
                 out.astype(self.dtype))
             return out, None

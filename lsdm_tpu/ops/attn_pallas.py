@@ -197,3 +197,40 @@ def _train_bwd(compute_dtype, interpret, res, g):
 
 
 rank1_mha_train.defvjp(_train_fwd, _train_bwd)
+
+
+def _shard_count(sharding) -> int:
+    """Number of shards the sharded (batch) axis 0 is split into."""
+    import numpy as np
+
+    axes = sharding.spec[0]
+    if axes is None:
+        return 1
+    if isinstance(axes, str):
+        axes = (axes,)
+    return int(np.prod([sharding.mesh.shape[a] for a in axes]))
+
+
+def rank1_mha_sharded(q, k, v, sharding, compute_dtype=jnp.float32,
+                      interpret: bool = False, train: bool = False):
+    """The fused rank-1 kernels under ``jax.shard_map`` over a sharded
+    cloud (batch) axis (round 5).
+
+    The kernel is per-cloud, so sharding axis 0 needs ZERO collectives:
+    each device runs the Pallas program (or, in training, the custom-VJP
+    pair — shard_map composes with custom_vjp, so the backward kernel is
+    shard-mapped too) on its local batch shard.  This removes the
+    round-4 limitation where a sharded object axis forced the composed
+    HBM-logits formulation (``models/sdm.py``: "no SPMD rule").
+
+    Caller must ensure ``q.shape[0]`` divides by the shard count
+    (``shard_count(sharding)``) — shard_map requires exact divisibility,
+    unlike GSPMD's implicit padding.
+    """
+    spec = jax.sharding.PartitionSpec(sharding.spec[0], None, None)
+    fn = rank1_mha_train if train else rank1_mha_pallas
+    return jax.shard_map(
+        lambda a, b, c: fn(a, b, c, compute_dtype, interpret),
+        mesh=sharding.mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
