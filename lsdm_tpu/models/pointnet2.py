@@ -107,6 +107,20 @@ class PointNetSetAbstraction(nn.Module):
     # path (matmuls + the same gathers).  Off by default: the composed
     # path is the reference-shaped graph.
     hoist_layer1: bool = False
+    # NamedSharding of the flattened cloud axis (round 5): when set and
+    # the batch divides the shard count, the Pallas selection kernels
+    # run per-shard under jax.shard_map (parallel/mesh.py:
+    # cloud_shard_map) instead of falling back to the slower composed
+    # SPMD formulations; indivisible batches fall back to "topk_p".
+    shard: Optional[object] = None
+
+    def _kernel_shard(self, batch: int) -> Optional[object]:
+        """The sharding to shard_map kernels over, or None."""
+        if self.shard is None:
+            return None
+        from lsdm_tpu.parallel.mesh import shard_count
+
+        return self.shard if batch % shard_count(self.shard) == 0 else None
 
     @nn.compact
     def __call__(
@@ -117,13 +131,33 @@ class PointNetSetAbstraction(nn.Module):
         fps_key: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
         B, N, C = xyz.shape
+        kshard = self._kernel_shard(B)
         if self.fps_mode == "auto" and self.npoint == N:
             new_xyz = xyz  # FPS of N points out of N = identity set
         else:
-            fps_idx = farthest_point_sample(
-                xyz, self.npoint, key=fps_key,
-                impl=("pallas" if self.ball_impl in ("pallas", "fused", "sg")
-                      else "scan"))
+            fps_impl = ("pallas" if self.ball_impl in ("pallas", "fused",
+                                                       "sg") else "scan")
+            if fps_impl == "pallas" and kshard is not None:
+                from lsdm_tpu.ops.fps_pallas import \
+                    farthest_point_sample_pallas
+                from lsdm_tpu.parallel.mesh import cloud_shard_map
+
+                # the random start draw happens OUTSIDE shard_map (a key
+                # cannot be split per-shard transparently); the kernel
+                # then consumes the per-shard slice of farthest0
+                farthest0 = (jnp.zeros((B,), jnp.int32) if fps_key is None
+                             else jax.random.randint(fps_key, (B,), 0, N,
+                                                     dtype=jnp.int32))
+                npoint = self.npoint
+                interp = jax.default_backend() == "cpu"
+                fps_idx = cloud_shard_map(
+                    lambda a, f: farthest_point_sample_pallas(
+                        jax.lax.stop_gradient(a.astype(jnp.float32)),
+                        npoint, f, interpret=interp),
+                    kshard, 2, xyz, farthest0)
+            else:
+                fps_idx = farthest_point_sample(
+                    xyz, self.npoint, key=fps_key, impl=fps_impl)
             new_xyz = index_points(xyz, fps_idx)  # (B, S, 3)
         # nsample can exceed the available points in down-scaled test configs
         ball = self.ball_impl
@@ -180,8 +214,27 @@ class PointNetSetAbstraction(nn.Module):
                 # topk_rows).  The scatter/binsearch reformulations also
                 # partition but are 18x/26x slower on-chip (PERF.md round 3).
                 ball = "topk_p" if self.select_impl == "spmd" else "topk"
-            idx = query_ball_point(
-                self.radius, min(self.nsample, N), xyz, new_xyz, impl=ball)
+            if ball == "pallas" and self.shard is not None:
+                if kshard is not None:
+                    # per-shard fused selection kernel under shard_map —
+                    # keeps the train-default kernel on a sharded mesh
+                    from lsdm_tpu.parallel.mesh import cloud_shard_map
+
+                    r, K = self.radius, min(self.nsample, N)
+                    idx = cloud_shard_map(
+                        lambda a, b: query_ball_point(r, K, a, b,
+                                                      impl="pallas"),
+                        kshard, 3, xyz, new_xyz)
+                else:
+                    # indivisible shard count: partition-clean composed
+                    ball = "topk_p"
+                    idx = query_ball_point(
+                        self.radius, min(self.nsample, N), xyz, new_xyz,
+                        impl=ball)
+            else:
+                idx = query_ball_point(
+                    self.radius, min(self.nsample, N), xyz, new_xyz,
+                    impl=ball)
             if self.hoist_layer1:
                 # layer-1 Dense at the N domain, then gather its output
                 # and subtract the per-center rank-1 term (see the field
@@ -250,6 +303,9 @@ class PointNetFeaturePropagation(nn.Module):
     # "scatter" (exact, trace-identical eval default) or
     # "matmul"/"matmul_fwd" (one-hot MXU backward/both — train)
     gather_bwd: str = "scatter"
+    # sharded cloud axis: shard_map the 3-NN kernel (see
+    # PointNetSetAbstraction.shard)
+    shard: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -297,16 +353,37 @@ class PointNetFeaturePropagation(nn.Module):
             impl = (("pallas" if self.nn_impl == "fused" else self.nn_impl)
                     if self.nn_impl != "auto"
                     else ("topk_p" if self.select_impl == "spmd" else "topk"))
+            kshard = None
+            if impl == "pallas" and self.shard is not None:
+                from lsdm_tpu.parallel.mesh import shard_count
+
+                if xyz1.shape[0] % shard_count(self.shard) == 0:
+                    kshard = self.shard
+                else:
+                    impl = "topk_p"  # indivisible: partition-clean composed
             # under train the inverse-distance WEIGHTS carry gradients in
             # the reference graph; the VJP-less kernel still works because
             # gradients flow only through the selected distance VALUES at
             # fixed indices — diff_weights recomputes those k distances
             # differentiably outside the kernel (round 4,
             # ops/pointcloud.py:three_nn_interpolate)
-            interpolated = three_nn_interpolate(xyz1, xyz2, points2,
-                                                impl=impl,
-                                                diff_weights=train,
-                                                gather_bwd=self.gather_bwd)
+            if kshard is not None:
+                # per-shard 3-NN kernel (+ its differentiable weight
+                # recompute and feature gather) under shard_map — zero
+                # collectives, shard_map autodiff carries the gradients
+                from lsdm_tpu.parallel.mesh import cloud_shard_map
+
+                dw, gb = train, self.gather_bwd
+                interpolated = cloud_shard_map(
+                    lambda a, b, p: three_nn_interpolate(
+                        a, b, p, impl="pallas", diff_weights=dw,
+                        gather_bwd=gb),
+                    kshard, 3, xyz1, xyz2, points2)
+            else:
+                interpolated = three_nn_interpolate(xyz1, xyz2, points2,
+                                                    impl=impl,
+                                                    diff_weights=train,
+                                                    gather_bwd=self.gather_bwd)
         if points1 is not None:
             new_points = jnp.concatenate([points1, interpolated], axis=-1)
         else:
@@ -346,6 +423,9 @@ class PointNet2Backbone(nn.Module):
     # hoist each SA stage's layer-1 Dense to the N domain (train
     # optimization, round 5 — see PointNetSetAbstraction.hoist_layer1)
     hoist_layer1: bool = False
+    # sharded cloud axis: shard_map the Pallas kernels per shard
+    # (round 5 — see PointNetSetAbstraction.shard)
+    shard: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -360,10 +440,10 @@ class PointNet2Backbone(nn.Module):
         l0_xyz, l0_points = xyz, xyz
         p1, p2, p3, p4 = self.sa_npoints
         ns = self.sa_nsample
-        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, name="sa1")
-        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, name="sa2")
-        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, name="sa3")
-        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, name="sa4")
+        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, shard=self.shard, name="sa1")
+        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, shard=self.shard, name="sa2")
+        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, shard=self.shard, name="sa3")
+        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, shard=self.shard, name="sa4")
         l1_xyz, l1_points = sa1(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = sa2(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = sa3(l2_xyz, l2_points, train, keys[2])
@@ -374,10 +454,10 @@ class PointNet2Backbone(nn.Module):
         nn_impl = (self.ball_impl if self.ball_impl in ("pallas", "fused")
                    else "pallas" if self.ball_impl == "sg"
                    else "auto")
-        fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, gather_bwd=self.gather_bwd, name="fp4")
-        fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, gather_bwd=self.gather_bwd, name="fp3")
-        fp2 = PointNetFeaturePropagation((256, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, gather_bwd=self.gather_bwd, name="fp2")
-        fp1 = PointNetFeaturePropagation((128, 128, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, gather_bwd=self.gather_bwd, name="fp1")
+        fp4 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, gather_bwd=self.gather_bwd, shard=self.shard, name="fp4")
+        fp3 = PointNetFeaturePropagation((256, 256), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, gather_bwd=self.gather_bwd, shard=self.shard, name="fp3")
+        fp2 = PointNetFeaturePropagation((256, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, gather_bwd=self.gather_bwd, shard=self.shard, name="fp2")
+        fp1 = PointNetFeaturePropagation((128, 128, 128), dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, nn_impl=nn_impl, gather_bwd=self.gather_bwd, shard=self.shard, name="fp1")
         l3_points = fp4(l3_xyz, l4_xyz, l3_points, l4_points, train)
         l2_points = fp3(l2_xyz, l3_xyz, l2_points, l3_points, train)
         l1_points = fp2(l1_xyz, l2_xyz, l1_points, l2_points, train)

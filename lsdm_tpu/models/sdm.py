@@ -128,18 +128,22 @@ class SceneDiffusionModel(nn.Module):
                 # (lax.top_k has no SPMD rule; see ops/pointcloud.py)
                 select_impl="spmd" if self.obj_sharding is not None
                 else "topk",
-                # NONE of the Pallas kernels (fused eval stages, the
-                # train-default ball-query/3-NN "pallas", the fused
-                # select+gather "sg") have an SPMD partitioning rule —
-                # under a sharded object axis any of them would force
-                # XLA to replicate/all-gather their operands, so the
-                # partition-clean composed formulations take over
-                # (pinned by tests/test_parallel.py midsize audits)
+                # The Pallas kernels have no GSPMD partitioning rule.
+                # Round 5: the per-cloud selection kernels ("pallas"
+                # ball-query/3-NN/FPS) now run per-shard under
+                # jax.shard_map when the batch divides the shard count
+                # (parallel/mesh.py:cloud_shard_map; indivisible shapes
+                # fall back to the partition-clean topk_p inside the
+                # module).  The whole-stage eval "fused" and the
+                # select+gather "sg" kernels still fall back to the
+                # composed formulations under sharding (pinned by
+                # tests/test_parallel.py midsize audits).
                 ball_impl=("auto" if self.obj_sharding is not None
-                           and cfg.ball_impl in ("fused", "pallas", "sg")
+                           and cfg.ball_impl in ("fused", "sg")
                            else cfg.ball_impl),
                 gather_bwd=cfg.gather_bwd,
                 hoist_layer1=cfg.sa_hoist,
+                shard=self.obj_sharding,
             )
         self.combine_extraction = MLP((D,), ("gelu",), dtype=dtype)
         self.input_process = InputProcess(cfg.xyz_dim, D, dtype=dtype)

@@ -201,14 +201,9 @@ rank1_mha_train.defvjp(_train_fwd, _train_bwd)
 
 def _shard_count(sharding) -> int:
     """Number of shards the sharded (batch) axis 0 is split into."""
-    import numpy as np
+    from lsdm_tpu.parallel.mesh import shard_count
 
-    axes = sharding.spec[0]
-    if axes is None:
-        return 1
-    if isinstance(axes, str):
-        axes = (axes,)
-    return int(np.prod([sharding.mesh.shape[a] for a in axes]))
+    return shard_count(sharding)
 
 
 def rank1_mha_sharded(q, k, v, sharding, compute_dtype=jnp.float32,

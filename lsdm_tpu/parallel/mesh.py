@@ -65,6 +65,32 @@ def obj_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(("data", "model"), None, None))
 
 
+def shard_count(sharding: NamedSharding) -> int:
+    """Number of shards a NamedSharding splits its axis 0 into."""
+    axes = sharding.spec[0]
+    if axes is None:
+        return 1
+    if isinstance(axes, str):
+        axes = (axes,)
+    return int(np.prod([sharding.mesh.shape[a] for a in axes]))
+
+
+def cloud_shard_map(fn, sharding: NamedSharding, out_ndim: int, *arrays):
+    """Run a per-cloud op (batch axis 0, no cross-cloud interaction) under
+    ``jax.shard_map`` over the sharded axis: each device computes its
+    local shard with ZERO collectives.  This is how the Pallas kernels —
+    which have no GSPMD partitioning rule — stay usable under a sharded
+    object axis (round 5): shard_map hands each device plain per-shard
+    arrays, so the kernel (and, via shard_map's autodiff, any custom
+    VJP) runs exactly as on one chip.  Caller checks divisibility
+    (``arrays[0].shape[0] % shard_count(sharding) == 0``)."""
+    ax = sharding.spec[0]
+    in_specs = tuple(P(ax, *([None] * (a.ndim - 1))) for a in arrays)
+    out_spec = P(ax, *([None] * (out_ndim - 1)))
+    return jax.shard_map(fn, mesh=sharding.mesh, in_specs=in_specs,
+                         out_specs=out_spec, check_vma=False)(*arrays)
+
+
 def shard_batch(mesh: Mesh, tree):
     """Device-put a pytree of host arrays with batch sharding."""
     return jax.tree.map(

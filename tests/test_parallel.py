@@ -281,24 +281,30 @@ def test_midsize_sampling_partitioning_no_giant_allgather():
 
 @pytest.mark.parametrize("impl", ["fused", "pallas", "sg"])
 def test_sharded_context_overrides_kernel_ball_impls(impl):
-    """None of the Pallas kernels (fused eval stages, the train-default
-    "pallas" ball-query/3-NN, the fused select+gather "sg") have an SPMD
-    partitioning rule — a sharded object axis must override ALL of them
-    to the composed partition-clean formulations (models/sdm.py).  Round
-    4 regression: only "fused" was overridden, so the TPU train default
-    ("auto" -> "pallas") on a mesh run would have forced replication."""
+    """The Pallas kernels have no GSPMD partitioning rule — a sharded
+    object axis must keep them off the GSPMD partitioner.  Round 4: all
+    fell back to the composed partition-clean formulations.  Round 5:
+    the per-cloud "pallas" selection kernels instead pass through WITH
+    the shard handle and run under shard_map (zero collectives,
+    models/pointnet2.py); "fused"/"sg" still remap to composed."""
     import dataclasses
 
     cfg = dataclasses.replace(TINY, ball_impl=impl)
     mesh = mesh_lib.make_mesh((4, 2))
-    sharded = SceneDiffusionModel(cfg, obj_sharding=mesh_lib.obj_sharding(mesh))
+    sh = mesh_lib.obj_sharding(mesh)
+    sharded = SceneDiffusionModel(cfg, obj_sharding=sh)
     mask, objs, cats, target, _, text = _batch(jax.random.PRNGKey(0))
     variables = sharded.init(jax.random.PRNGKey(1), target, mask,
                              jnp.zeros((B,), jnp.int32), objs, cats, text)
-    assert sharded.bind(variables).pcd_backbone.ball_impl == "auto"
-    # and without sharding the requested impl passes through
+    bb = sharded.bind(variables).pcd_backbone
+    if impl == "pallas":
+        assert bb.ball_impl == "pallas" and bb.shard is sh
+    else:
+        assert bb.ball_impl == "auto"
+    # and without sharding the requested impl passes through, no shard
     plain = SceneDiffusionModel(cfg)
     assert plain.bind(variables).pcd_backbone.ball_impl == impl
+    assert plain.bind(variables).pcd_backbone.shard is None
 
 
 def test_sharded_train_attention_kernel_matches_composed():
@@ -339,3 +345,38 @@ def test_sharded_train_attention_kernel_matches_composed():
     # the kernel path kept params replicated and the step finite
     assert np.isfinite(float(met_k["loss"]))
     assert lk[0].sharding.is_fully_replicated
+
+
+def test_sharded_selection_kernels_match_composed():
+    """Round 5: ball_impl='pallas' under a sharded object axis runs the
+    selection kernels (ball query, 3-NN, FPS) per-shard via shard_map.
+    The selection is bit-identical to the composed formulations, so the
+    sharded-kernel train step must match the sharded composed step."""
+    import dataclasses
+
+    mesh = mesh_lib.make_mesh((4, 2))
+    sh = mesh_lib.obj_sharding(mesh)
+    cfg_k = dataclasses.replace(TINY, ball_impl="pallas")
+    m_k = SceneDiffusionModel(cfg_k, obj_sharding=sh)
+    m_c = SceneDiffusionModel(TINY, obj_sharding=sh)  # auto -> topk_p
+    schedule = make_schedule("cosine", 8)
+    mask, objs, cats, target, target_cat, text = _batch(jax.random.PRNGKey(0))
+    variables = m_c.init(
+        jax.random.PRNGKey(1), target, mask, jnp.zeros((B,), jnp.int32),
+        objs, cats, text)
+    tx = make_optimizer()
+    mk_state = lambda: jax.device_put(
+        jax.tree.map(jnp.copy, create_train_state(variables, tx)),
+        mesh_lib.replicated(mesh))
+    put = lambda a: jax.device_put(a, mesh_lib.batch_sharding(mesh, a.ndim))
+    args = (put(mask), put(objs), put(cats), put(target), put(target_cat),
+            put(text), jax.random.PRNGKey(2))
+    s_k, met_k = make_train_step(m_k, schedule, tx)(mk_state(), *args)
+    s_c, met_c = make_train_step(m_c, schedule, tx)(mk_state(), *args)
+    np.testing.assert_allclose(float(met_k["loss"]), float(met_c["loss"]),
+                               rtol=2e-4)
+    deltas = [float(jnp.max(jnp.abs(a - b)))
+              for a, b in zip(jax.tree.leaves(s_k.params),
+                              jax.tree.leaves(s_c.params))]
+    assert max(deltas) < 2e-3, f"param update divergence {max(deltas)}"
+    assert np.isfinite(float(met_k["loss"]))
