@@ -94,8 +94,10 @@ class SDMConfig:
     # to the N point domain (round 5, models/pointnet2.py:
     # PointNetSetAbstraction.hoist_layer1): 8-32x fewer layer-1 FLOPs
     # and one grouped buffer eliminated per stage, bf16-grade
-    # reassociation deltas only.  Off by default (the composed path is
-    # the reference-shaped graph); training CLIs opt in via --sa_hoist.
+    # reassociation deltas only.  Measured train-time NEGATIVE on TPU
+    # (-12% reproduced: the layer-1 preactivation is WIDER than the
+    # grouped input at sa1, so gather HBM bytes rise on a bandwidth-
+    # bound step — PERF.md round 5).  Off by default; --sa_hoist opts in.
     sa_hoist: bool = False
 
 

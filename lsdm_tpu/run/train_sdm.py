@@ -75,9 +75,11 @@ def main():
                          "measured train step (PERF.md round 4)")
     ap.add_argument("--sa_hoist", action="store_true",
                     help="hoist each SA stage's layer-1 Dense to the N "
-                         "point domain (8-32x fewer layer-1 FLOPs, one "
-                         "grouped buffer fewer per stage; bf16-grade "
-                         "reassociation deltas — models/pointnet2.py)")
+                         "point domain. Measured train-time NEGATIVE on "
+                         "TPU (-12%%, reproduced — the layer-1 "
+                         "preactivation is wider than the grouped input "
+                         "at sa1, so HBM gather bytes rise; PERF.md "
+                         "round 5); kept for experimentation")
     ap.add_argument(
         "--platform", default=None,
         help="force a jax platform (e.g. cpu); the ambient axon TPU backend "

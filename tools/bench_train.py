@@ -60,7 +60,8 @@ def main():
                          "rng, attn")
     ap.add_argument("--sa_hoist", action="store_true",
                     help="hoist each SA stage's layer-1 Dense to the N "
-                         "domain (round-5 candidate; models/pointnet2.py)")
+                         "domain (measured -12%% train NEGATIVE on TPU, "
+                         "PERF.md round 5; kept for experimentation)")
     ap.add_argument("--human_backbone", default=None,
                     choices=["POSA", "P2R"],
                     help="override the human-tower type (default: the "
