@@ -145,7 +145,7 @@ def main():
         import lsdm_tpu.ops.pointcloud as _pc
         import lsdm_tpu.models.pointnet2 as _pn2
 
-        def _fps_stub(xyz, npoint, key=None):
+        def _fps_stub(xyz, npoint, key=None, **_kw):  # impl= passthrough
             B, N = xyz.shape[:2]
             idx = (jnp.arange(npoint) * (N // npoint)).astype(jnp.int32)
             return jnp.broadcast_to(idx, (B, npoint))
