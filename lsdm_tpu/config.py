@@ -99,6 +99,13 @@ class SDMConfig:
     # grouped input at sa1, so gather HBM bytes rise on a bandwidth-
     # bound step — PERF.md round 5).  Off by default; --sa_hoist opts in.
     sa_hoist: bool = False
+    # Batch-parallel FPS kernel (ops/fps_batched_pallas.py): one kernel
+    # advances all B*objs clouds per iteration instead of one grid cell
+    # per cloud (grid cells execute sequentially on the TensorCore), so
+    # the selection pays npoint loop overheads instead of B*npoint.
+    # Bit-identical indices.  Applies wherever the Pallas FPS would run
+    # (unsharded contexts); opt in via --fps_batched on the train CLIs.
+    fps_batched: bool = False
 
 
 def sdm_proxd() -> SDMConfig:

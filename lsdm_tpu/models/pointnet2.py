@@ -107,6 +107,9 @@ class PointNetSetAbstraction(nn.Module):
     # path (matmuls + the same gathers).  Off by default: the composed
     # path is the reference-shaped graph.
     hoist_layer1: bool = False
+    # batch-parallel FPS kernel (round 5, ops/fps_batched_pallas.py):
+    # npoint loop overheads instead of B*npoint; bit-identical indices
+    fps_batched: bool = False
     # NamedSharding of the flattened cloud axis (round 5): when set and
     # the batch divides the shard count, the Pallas selection kernels
     # run per-shard under jax.shard_map (parallel/mesh.py:
@@ -137,11 +140,20 @@ class PointNetSetAbstraction(nn.Module):
         else:
             fps_impl = ("pallas" if self.ball_impl in ("pallas", "fused",
                                                        "sg") else "scan")
-            if fps_impl == "pallas" and kshard is not None:
+            if fps_impl == "pallas" and self.fps_batched:
+                # batch-parallel kernel: npoint loop overheads instead of
+                # B*npoint (ops/fps_batched_pallas.py, bit-identical)
+                fps_impl = "pallas_b"
+            if fps_impl.startswith("pallas") and kshard is not None:
+                from lsdm_tpu.ops.fps_batched_pallas import \
+                    farthest_point_sample_batched
                 from lsdm_tpu.ops.fps_pallas import \
                     farthest_point_sample_pallas
                 from lsdm_tpu.parallel.mesh import cloud_shard_map
 
+                kernel = (farthest_point_sample_batched
+                          if fps_impl == "pallas_b"
+                          else farthest_point_sample_pallas)
                 # the random start draw happens OUTSIDE shard_map (a key
                 # cannot be split per-shard transparently); the kernel
                 # then consumes the per-shard slice of farthest0
@@ -151,7 +163,7 @@ class PointNetSetAbstraction(nn.Module):
                 npoint = self.npoint
                 interp = jax.default_backend() == "cpu"
                 fps_idx = cloud_shard_map(
-                    lambda a, f: farthest_point_sample_pallas(
+                    lambda a, f: kernel(
                         jax.lax.stop_gradient(a.astype(jnp.float32)),
                         npoint, f, interpret=interp),
                     kshard, 2, xyz, farthest0)
@@ -423,6 +435,9 @@ class PointNet2Backbone(nn.Module):
     # hoist each SA stage's layer-1 Dense to the N domain (train
     # optimization, round 5 — see PointNetSetAbstraction.hoist_layer1)
     hoist_layer1: bool = False
+    # batch-parallel FPS kernel (round 5 — see
+    # PointNetSetAbstraction.fps_batched)
+    fps_batched: bool = False
     # sharded cloud axis: shard_map the Pallas kernels per shard
     # (round 5 — see PointNetSetAbstraction.shard)
     shard: Optional[object] = None
@@ -440,10 +455,10 @@ class PointNet2Backbone(nn.Module):
         l0_xyz, l0_points = xyz, xyz
         p1, p2, p3, p4 = self.sa_npoints
         ns = self.sa_nsample
-        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, shard=self.shard, name="sa1")
-        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, shard=self.shard, name="sa2")
-        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, shard=self.shard, name="sa3")
-        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, shard=self.shard, name="sa4")
+        sa1 = PointNetSetAbstraction(p1, 0.1, ns, (32, 32, 64), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, fps_batched=self.fps_batched, shard=self.shard, name="sa1")
+        sa2 = PointNetSetAbstraction(p2, 0.2, ns, (64, 64, 128), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, fps_batched=self.fps_batched, shard=self.shard, name="sa2")
+        sa3 = PointNetSetAbstraction(p3, 0.4, ns, (128, 128, 256), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, fps_batched=self.fps_batched, shard=self.shard, name="sa3")
+        sa4 = PointNetSetAbstraction(p4, 0.8, ns, (256, 256, 512), fps_mode=self.fps_mode, dtype=self.dtype, bn_dtype=self.bn_dtype, select_impl=self.select_impl, ball_impl=self.ball_impl, gather_bwd=self.gather_bwd, hoist_layer1=self.hoist_layer1, fps_batched=self.fps_batched, shard=self.shard, name="sa4")
         l1_xyz, l1_points = sa1(l0_xyz, l0_points, train, keys[0])
         l2_xyz, l2_points = sa2(l1_xyz, l1_points, train, keys[1])
         l3_xyz, l3_points = sa3(l2_xyz, l2_points, train, keys[2])

@@ -143,6 +143,7 @@ class SceneDiffusionModel(nn.Module):
                            else cfg.ball_impl),
                 gather_bwd=cfg.gather_bwd,
                 hoist_layer1=cfg.sa_hoist,
+                fps_batched=cfg.fps_batched,
                 shard=self.obj_sharding,
             )
         self.combine_extraction = MLP((D,), ("gelu",), dtype=dtype)

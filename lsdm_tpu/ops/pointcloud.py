@@ -259,6 +259,16 @@ def farthest_point_sample(
         return farthest_point_sample_pallas(
             jax.lax.stop_gradient(xyz), npoint, farthest0,
             interpret=jax.default_backend() == "cpu")
+    if impl == "pallas_b":
+        # batch-parallel variant: ONE kernel advances all B clouds per
+        # iteration (npoint loop overheads instead of B*npoint — the
+        # per-scene kernel's grid cells execute sequentially on the
+        # TensorCore; ops/fps_batched_pallas.py, bit-identical indices)
+        from lsdm_tpu.ops.fps_batched_pallas import \
+            farthest_point_sample_batched
+        return farthest_point_sample_batched(
+            jax.lax.stop_gradient(xyz), npoint, farthest0,
+            interpret=jax.default_backend() == "cpu")
 
     def body(carry, _):
         distance, farthest = carry

@@ -80,6 +80,12 @@ def main():
                          "preactivation is wider than the grouped input "
                          "at sa1, so HBM gather bytes rise; PERF.md "
                          "round 5); kept for experimentation")
+    ap.add_argument("--fps_batched", action="store_true",
+                    help="batch-parallel FPS kernel: one kernel "
+                         "advances all clouds per iteration (npoint "
+                         "loop overheads instead of B*npoint; "
+                         "bit-identical indices — "
+                         "ops/fps_batched_pallas.py)")
     ap.add_argument(
         "--platform", default=None,
         help="force a jax platform (e.g. cpu); the ambient axon TPU backend "
@@ -121,6 +127,7 @@ def main():
         ball_impl=resolve_train_ball_impl(args.ball_impl),
         attn_impl=resolve_train_attn_impl(args.attn_impl),
         sa_hoist=args.sa_hoist,
+        fps_batched=args.fps_batched,
     )
     diff_cfg = DiffusionConfig(
         steps=args.diffusion_steps, noise_schedule=args.noise_schedule

@@ -638,6 +638,21 @@ def test_fps_pallas_bit_identical(rng):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fps_batched_bit_identical(rng):
+    """ops/fps_batched_pallas.py: the batch-parallel FPS kernel (all B
+    clouds advanced per iteration — npoint loop overheads instead of
+    B*npoint) returns bit-identical indices to the lax.scan formulation,
+    zero and random starts, including a non-multiple-of-8 batch."""
+    from lsdm_tpu.ops.pointcloud import farthest_point_sample
+
+    for B, N, P in ((2, 64, 16), (3, 128, 32), (9, 128, 32)):
+        x = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+        for key in (None, jax.random.PRNGKey(7)):
+            a = farthest_point_sample(x, P, key=key)
+            b = farthest_point_sample(x, P, key=key, impl="pallas_b")
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_rank1_mha_fused_matches_composed(rng):
     """ops/attn_pallas.py: head_dim=1 fused attention (logits VMEM-only)
     == the composed torch-parity MHA, fp32 and bf16."""

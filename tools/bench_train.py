@@ -62,6 +62,9 @@ def main():
                     help="hoist each SA stage's layer-1 Dense to the N "
                          "domain (measured -12%% train NEGATIVE on TPU, "
                          "PERF.md round 5; kept for experimentation)")
+    ap.add_argument("--fps_batched", action="store_true",
+                    help="batch-parallel FPS kernel (round-5 "
+                         "candidate; ops/fps_batched_pallas.py)")
     ap.add_argument("--human_backbone", default=None,
                     choices=["POSA", "P2R"],
                     help="override the human-tower type (default: the "
@@ -109,7 +112,8 @@ def main():
                               gather_bwd=args.gather_bwd,
                               ball_impl=ball_impl,
                               attn_impl=attn_impl,
-                              sa_hoist=args.sa_hoist)
+                              sa_hoist=args.sa_hoist,
+                              fps_batched=args.fps_batched)
     if args.human_backbone:
         cfg = dataclasses.replace(cfg, human_backbone_type=args.human_backbone)
 

@@ -336,6 +336,15 @@ def case_fps():
                 f"farthest_point_sample_pallas (B{B} N{N} P{P})",
                 lambda a, b: farthest_point_sample_pallas(a, P, b),  # noqa: B023
                 jnp.zeros((B, N, 3)), jnp.zeros((B,), jnp.int32))
+    from lsdm_tpu.ops.fps_batched_pallas import farthest_point_sample_batched
+
+    # batched variant: train flagship B*objs = 54 plus both bench points
+    for B in (9, 54, 72):
+        for N, P in ((1024, 256), (256, 64), (64, 16)):
+            ok &= _export_tpu(
+                f"farthest_point_sample_batched (B{B} N{N} P{P})",
+                lambda a, b: farthest_point_sample_batched(a, P, b),  # noqa: B023
+                jnp.zeros((B, N, 3)), jnp.zeros((B,), jnp.int32))
     return ok
 
 
